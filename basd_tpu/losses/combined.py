@@ -1,0 +1,121 @@
+"""Combined BASD loss: CE + mean per-extraction-point Procrustes, UW-SO
+balanced.
+
+Reference: ``BASDLoss`` (``src/losses/combined.py:17-85``): evenly-spaced
+extraction points over the student depth, selector mixing, token-count
+alignment by 1-D interpolation, attention-weighted Procrustes per point
+(averaged), and UW-SO inverse-loss weighting of ``[CE, geo]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.losses.selector import SelectorConfig, init_selector, select_and_mix
+from basd_tpu.ops.interp import align_token_count
+from basd_tpu.ops.losses import cross_entropy, uwso_combine, uwso_weights
+from basd_tpu.ops.procrustes import geometric_relational_loss
+
+
+def extraction_layers(student_depth: int, num_points: int) -> list[int]:
+    """Evenly-spaced extraction indices (reference:
+    ``src/losses/combined.py:34-40``; uses Python banker's rounding)."""
+    if num_points == 1:
+        return [student_depth - 1]
+    return [
+        round(i * (student_depth - 1) / (num_points - 1)) for i in range(num_points)
+    ]
+
+
+@dataclass(frozen=True)
+class BASDLossConfig:
+    student_dim: int
+    teacher_dim: int
+    student_depth: int
+    num_student_tokens: int
+    num_extraction_points: int
+    label_smoothing: float
+    teacher_has_cls_token: bool  # kept for API parity; reduction happens
+    # upstream in the teacher forward (see ops.procrustes)
+    backend: str = "gram"
+
+    @property
+    def token_layers(self) -> list[int]:
+        return extraction_layers(self.student_depth, self.num_extraction_points)
+
+    @property
+    def selector_config(self) -> SelectorConfig:
+        return SelectorConfig(
+            num_extraction_points=self.num_extraction_points,
+            student_dim=self.student_dim,
+            teacher_dim=self.teacher_dim,
+            backend=self.backend,
+        )
+
+
+def init_basd_loss(key: jax.Array, cfg: BASDLossConfig) -> tuple[dict, dict]:
+    """Initialize (params, buffers) of the loss (the selector state)."""
+    return init_selector(key, cfg.selector_config)
+
+
+def basd_loss(
+    params: dict,
+    buffers: dict,
+    student_logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    student_intermediates: jnp.ndarray,
+    teacher_tokens: jnp.ndarray,
+    teacher_importance: jnp.ndarray,
+    cfg: BASDLossConfig,
+) -> tuple[jnp.ndarray, dict]:
+    """Full BASD objective.
+
+    Args:
+        student_intermediates: (P, B, N_s, D_s) — tokens at the extraction
+            points (CLS already stripped), ordered as ``cfg.token_layers``.
+        teacher_tokens: (L, B, N_t, D_t) frozen teacher layer tokens.
+        teacher_importance: (L, B, N_t) reduced attention importance.
+        targets: (B,) int labels or (B, C) soft (mixed) targets.
+
+    Returns:
+        (loss, aux) where aux holds ce/geo components, UW-SO weights and
+        selector diagnostics.
+    """
+    ce = cross_entropy(student_logits, targets, cfg.label_smoothing)
+
+    mixed_tokens, mixed_importance, sel_aux = select_and_mix(
+        params,
+        buffers,
+        student_intermediates,
+        teacher_tokens,
+        teacher_importance,
+        cfg.selector_config,
+    )
+
+    # align mixed-teacher token counts to the student grid
+    aligned = align_token_count(
+        mixed_tokens.reshape((-1,) + mixed_tokens.shape[2:]),
+        cfg.num_student_tokens,
+    ).reshape(mixed_tokens.shape[:2] + (cfg.num_student_tokens, -1))
+
+    geo_per_point = jax.vmap(
+        lambda s, t, w: geometric_relational_loss(
+            s, t, w, nuclear_backend=cfg.backend
+        )
+    )(student_intermediates, aligned, mixed_importance)
+    geo = jnp.mean(geo_per_point)
+
+    vals = jnp.stack([ce, geo])
+    loss = uwso_combine(vals)
+
+    aux = {
+        "ce_loss": ce,
+        "geo_loss": geo,
+        "geo_per_point": geo_per_point,
+        "uwso_weights": uwso_weights(vals),
+        **sel_aux,
+    }
+    return loss, aux

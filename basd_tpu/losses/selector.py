@@ -1,0 +1,158 @@
+"""Spectrally-adaptive Grassmannian layer selector (the BASD core novelty).
+
+Reference: ``GrassmannianLayerSelector`` (``src/losses/layer_selector.py:
+40-152``). State: two frozen random-orthogonal projections ``proj_s
+(D_s, D_s)`` / ``proj_t (D_s, D_t)`` and one learnable log-temperature per
+extraction point (init ``log(e - 1)`` => ``softplus^-1(1.0)``) — the
+"four learnable parameters" of the README. Per step:
+
+1. project every teacher layer's tokens to the shared D_s space and
+   estimate its Marchenko-Pastur rank (no grad), clamped to D_s - 1;
+2. extract each teacher layer's top-k PCA basis + singular values (no
+   grad);
+3. per extraction point, extract the student subspace (DIFFERENTIABLE —
+   gradients flow into the student tokens through the eigh/svd backward),
+   compute spectrally-weighted principal-angle distances to every teacher
+   layer, and softmax(-d^2 / tau) into mixing weights;
+4. mix all teacher layers' tokens — and attention importance — with those
+   weights.
+
+TPU-first redesign relative to the reference:
+
+- everything is batched: one (L,)-batched eigh for ranks, one for teacher
+  subspaces, one (P,)-batched student decomposition, one (P, L)-batched
+  principal-angle solve — no Python loops over layers inside jit;
+- data-dependent ranks become static-shape masks
+  (see ``basd_tpu.ops.grassmann``);
+- full (L, B, H, N, N) attention stacks are never formed: the selector
+  mixes *reduced* per-token importance (B, N), which is exact because the
+  downstream attention reduction is linear (see
+  ``basd_tpu.ops.procrustes.reduce_attention_importance``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.ops.grassmann import (
+    grassmann_subspace,
+    rank_mask,
+    spectral_grassmann_distance_sq,
+)
+from basd_tpu.ops.linalg import HI, orthogonal_matrix
+from basd_tpu.ops.mp_rank import marchenko_pastur_rank
+
+
+@dataclass(frozen=True)
+class SelectorConfig:
+    num_extraction_points: int
+    student_dim: int
+    teacher_dim: int
+    backend: str = "gram"  # 'gram' (TPU fast path) or 'svd' (parity)
+
+
+def init_selector(
+    key: jax.Array, cfg: SelectorConfig
+) -> tuple[dict, dict]:
+    """Returns (params, buffers).
+
+    ``params['log_temperatures']``: (P,) learnable.
+    ``buffers``: frozen orthogonal projections (never updated; part of the
+    checkpoint, replicated across the mesh).
+    """
+    k_s, k_t = jax.random.split(key)
+    params = {
+        "log_temperatures": jnp.full(
+            (cfg.num_extraction_points,), math.log(math.e - 1.0), jnp.float32
+        )
+    }
+    buffers = {
+        "proj_s": orthogonal_matrix(k_s, cfg.student_dim, cfg.student_dim),
+        "proj_t": orthogonal_matrix(k_t, cfg.student_dim, cfg.teacher_dim),
+    }
+    return params, buffers
+
+
+def temperatures(params: dict) -> jnp.ndarray:
+    return jax.nn.softplus(params["log_temperatures"])
+
+
+def select_and_mix(
+    params: dict,
+    buffers: dict,
+    student_tokens: jnp.ndarray,
+    teacher_tokens: jnp.ndarray,
+    teacher_importance: jnp.ndarray,
+    cfg: SelectorConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Mix all teacher layers into one soft target per extraction point.
+
+    Args:
+        student_tokens: (P, B, N_s, D_s) tokens at the P extraction points.
+        teacher_tokens: (L, B, N_t, D_t) per-teacher-layer tokens (frozen).
+        teacher_importance: (L, B, N_t) reduced attention importance.
+
+    Returns:
+        mixed_tokens: (P, B, N_t, D_t)
+        mixed_importance: (P, B, N_t)
+        aux: dict with 'ranks' (L,), 'mix_weights' (P, L),
+             'distances_sq' (P, L), 'temperatures' (P,).
+    """
+    proj_s = buffers["proj_s"]
+    proj_t = buffers["proj_t"]
+    d_s = cfg.student_dim
+    L = teacher_tokens.shape[0]
+    P = student_tokens.shape[0]
+
+    # ---- teacher side (all no-grad) ------------------------------------
+    t_tokens = jax.lax.stop_gradient(teacher_tokens)
+    t_imp = jax.lax.stop_gradient(teacher_importance)
+
+    z_t = jnp.einsum(
+        "lbnd,sd->lbns", t_tokens.astype(jnp.float32), proj_t, precision=HI
+    ).reshape(L, -1, d_s)
+
+    ranks = jnp.minimum(marchenko_pastur_rank(z_t), d_s - 1)  # (L,)
+    masks = rank_mask(ranks, d_s)  # (L, D_s)
+
+    basis_t, svals_t = grassmann_subspace(z_t, backend=cfg.backend)
+    basis_t = jax.lax.stop_gradient(basis_t)
+    svals_t = jax.lax.stop_gradient(svals_t)
+
+    # ---- student side (differentiable) ---------------------------------
+    z_s = jnp.einsum(
+        "pbnd,sd->pbns", student_tokens.astype(jnp.float32), proj_s, precision=HI
+    ).reshape(P, -1, d_s)
+    basis_s, _ = grassmann_subspace(z_s, backend=cfg.backend)  # (P, D_s, D_s)
+
+    # ---- principal angles, batched over (P, L) --------------------------
+    d_sq = spectral_grassmann_distance_sq(
+        basis_s[:, None],  # (P, 1, D, D)
+        basis_t[None, :],  # (1, L, D, D)
+        svals_t[None, :],
+        masks[None, :],
+        backend=cfg.backend,
+    )  # (P, L)
+
+    tau = temperatures(params)  # (P,)
+    weights = jax.nn.softmax(-d_sq / tau[:, None], axis=-1)  # (P, L)
+
+    # mirror the reference's cast of weights to the token dtype
+    # (src/losses/layer_selector.py:110) before mixing.
+    w_tok = weights.astype(teacher_tokens.dtype)
+    mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
+    mixed_importance = jnp.einsum(
+        "pl,lbn->pbn", weights.astype(teacher_importance.dtype), t_imp
+    )
+
+    aux = {
+        "ranks": ranks,
+        "mix_weights": weights,
+        "distances_sq": d_sq,
+        "temperatures": tau,
+    }
+    return mixed_tokens, mixed_importance, aux

@@ -1,0 +1,165 @@
+"""Spectral linear-algebra core, designed for the TPU compilation model.
+
+The reference delegates its hot numerics to cuSOLVER via
+``torch.linalg.{svd, svdvals, eigvalsh, matrix_norm(ord="nuc")}``
+(reference: ``src/losses/layer_selector.py:16,36,92,99``,
+``src/losses/relational.py:47-48``). On TPU, XLA lowers general SVD to an
+expensive iterative decomposition, while batched *symmetric*
+eigendecomposition is comparatively fast and batches well. Every SVD the
+BASD pipeline needs is therefore recast here as a symmetric eigenproblem:
+
+- singular values of ``M``            -> ``sqrt(eigvals(M M^T))``
+- right singular vectors of tall ``X`` -> ``eigvecs(X^T X)``
+- nuclear norm of ``M``               -> ``sum(sqrt(eigvals(M M^T)))`` with a
+  custom VJP whose backward is the polar factor of ``M`` computed by a
+  Newton-Schulz iteration (pure MXU matmuls, no decomposition in the
+  backward pass, stable under (near-)degenerate singular values where the
+  textbook SVD/eigh backward blows up).
+
+A ``backend="svd"`` parity path using ``jnp.linalg`` SVD directly is kept
+for float-tolerance comparison against the PyTorch reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Spectral-path contractions must be f32-exact on TPU (default TPU matmul
+# precision is bf16); this mirrors the reference's .float() loss math.
+HI = jax.lax.Precision.HIGHEST
+
+_SAFE_EIG_FLOOR = 1e-30
+
+
+def sym_eigh_desc(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched symmetric eigh with eigenvalues in descending order.
+
+    Returns ``(vals, vecs)`` where ``vecs[..., :, i]`` is the eigenvector of
+    ``vals[..., i]``.
+    """
+    vals, vecs = jnp.linalg.eigh(a)
+    return vals[..., ::-1], vecs[..., ::-1]
+
+
+def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with zero (not inf/nan) gradient at x <= 0."""
+    safe = jnp.sqrt(jnp.where(x > _SAFE_EIG_FLOOR, x, _SAFE_EIG_FLOOR))
+    return jnp.where(x > _SAFE_EIG_FLOOR, safe, 0.0)
+
+
+def singular_values_gram(m: jnp.ndarray) -> jnp.ndarray:
+    """Descending singular values of ``m`` (..., r, c) via the smaller Gram.
+
+    Differentiable; equals ``torch.linalg.svdvals`` up to ~sqrt(eps)
+    relative accuracy in the smallest values (Gram squaring).
+    """
+    r, c = m.shape[-2], m.shape[-1]
+    if r <= c:
+        gram = jnp.einsum("...ij,...kj->...ik", m, m, precision=HI)
+    else:
+        gram = jnp.einsum("...ji,...jk->...ik", m, m, precision=HI)
+    vals = jnp.linalg.eigvalsh(gram)[..., ::-1]
+    return _safe_sqrt(vals)
+
+
+def singular_values(m: jnp.ndarray, backend: str = "gram") -> jnp.ndarray:
+    if backend == "gram":
+        return singular_values_gram(m)
+    if backend == "svd":
+        return jnp.linalg.svd(m, compute_uv=False)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def right_singular_vectors(
+    x: jnp.ndarray, backend: str = "gram"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Singular values and right singular vectors of ``x`` (..., m, n).
+
+    Returns ``(s, v)`` with ``s`` descending and ``v[..., :, i]`` the i-th
+    right singular vector (so ``v`` corresponds to ``Vt.T`` / ``V`` in torch
+    SVD notation, up to per-column sign — all BASD uses are sign-invariant).
+
+    The default backend forms the (n, n) Gram matrix ``x^T x`` (a single
+    MXU-friendly contraction over the large token axis) and eigendecomposes
+    it; gradients flow through ``jnp.linalg.eigh``'s backward.
+    """
+    if backend == "svd":
+        _, s, vt = jnp.linalg.svd(x, full_matrices=False)
+        return s, jnp.swapaxes(vt, -1, -2)
+    gram = jnp.einsum("...ji,...jk->...ik", x, x, precision=HI)
+    vals, vecs = sym_eigh_desc(gram)
+    return _safe_sqrt(vals), vecs
+
+
+# -- Newton-Schulz polar factor ------------------------------------------
+
+
+def newton_schulz_polar(m: jnp.ndarray, steps: int = 18) -> jnp.ndarray:
+    """Polar factor ``U V^T`` of ``m`` (..., r, c) by Newton-Schulz iteration.
+
+    Pure matmul iteration ``X <- 1.5 X - 0.5 X X^T X`` after Frobenius
+    prescaling (which guarantees spectral norm <= 1 < sqrt(3), the NS
+    convergence region). Singular values flow to 1 (zero stays zero), i.e.
+    the limit is the minimum-norm subgradient of the nuclear norm.
+    """
+    dtype = m.dtype
+    x = m.astype(jnp.float32)
+    norm = jnp.sqrt(
+        jnp.sum(jnp.square(x), axis=(-2, -1), keepdims=True) + 1e-30
+    )
+    x = x / norm
+
+    def body(_, x):
+        xxt = jnp.einsum("...ij,...kj->...ik", x, x, precision=HI)
+        return 1.5 * x - 0.5 * jnp.einsum("...ik,...kj->...ij", xxt, x, precision=HI)
+
+    x = jax.lax.fori_loop(0, steps, body, x)
+    return x.astype(dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def nuclear_norm(m: jnp.ndarray) -> jnp.ndarray:
+    """Nuclear norm of ``m`` (..., r, c) -> (...).
+
+    Forward: sum of singular values via Gram eigendecomposition.
+    Backward: ``g * polar(m)`` via Newton-Schulz (the nuclear-norm
+    subgradient), replacing the degenerate-sensitive SVD backward.
+    Equivalent to ``torch.linalg.matrix_norm(m, ord="nuc")``
+    (reference: ``src/losses/relational.py:48``).
+    """
+    return jnp.sum(singular_values_gram(m), axis=-1)
+
+
+def _nuclear_fwd(m):
+    return nuclear_norm(m), m
+
+
+def _nuclear_bwd(m, g):
+    polar = newton_schulz_polar(m)
+    return (g[..., None, None] * polar,)
+
+
+nuclear_norm.defvjp(_nuclear_fwd, _nuclear_bwd)
+
+
+def nuclear_norm_ref(m: jnp.ndarray) -> jnp.ndarray:
+    """Parity backend: nuclear norm via jnp SVD (torch-matching gradients
+    away from degeneracies)."""
+    return jnp.sum(jnp.linalg.svd(m, compute_uv=False), axis=-1)
+
+
+def orthogonal_matrix(key: jax.Array, rows: int, cols: int, dtype=jnp.float32):
+    """Random orthogonal (rows, cols) matrix with orthonormal rows (rows <=
+    cols) or columns (rows >= cols), matching the semantics of
+    ``torch.nn.init.orthogonal_`` (reference:
+    ``src/losses/layer_selector.py:51-56``)."""
+    flat = jax.random.normal(key, (max(rows, cols), min(rows, cols)), dtype=jnp.float32)
+    q, r = jnp.linalg.qr(flat)
+    # sign correction for a uniform (Haar) distribution
+    q = q * jnp.sign(jnp.diagonal(r))[None, :]
+    if rows < cols:
+        q = q.T
+    return q.astype(dtype)

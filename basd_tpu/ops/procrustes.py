@@ -1,0 +1,88 @@
+"""Attention-weighted Procrustes loss.
+
+Reference: ``geometric_relational_loss`` (``src/losses/relational.py:5-50``):
+importance weights from teacher attention, parameter-free 1-D resample to
+the student token count, weighted centering, ``sqrt(w)`` scaling, then
+``mean_B( tr(S^T S) + tr(T^T T) - 2 ||S_w^T T_w||_nuc )`` where the nuclear
+norm of the (D_s, D_t) cross-covariance (a batched rectangular SVD in the
+reference) handles arbitrary dimension mismatch with zero parameters.
+
+TPU-first notes:
+
+- attention maps are never materialized here: callers pass the already
+  *reduced* importance vector per image (the CLS attention row head-mean,
+  or the query-mean), because both reductions are linear and commute with
+  the selector's layer mixing — see ``basd_tpu.models.vit``;
+- the nuclear norm runs through ``basd_tpu.ops.linalg.nuclear_norm``
+  (Gram-eigh forward, Newton-Schulz polar backward) instead of batched SVD.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from basd_tpu.ops import linalg
+from basd_tpu.ops.interp import linear_interp1d
+from basd_tpu.ops.linalg import HI
+
+
+def reduce_attention_importance(
+    attn: jnp.ndarray, *, has_cls_token: bool
+) -> jnp.ndarray:
+    """Collapse a full attention map (B, H, N, N) to per-token importance.
+
+    With a CLS token the CLS query row (keys 1:) mean over heads is used
+    (reference: ``src/losses/relational.py:22-24``); otherwise the mean over
+    heads and queries (``:27``).
+    """
+    if has_cls_token:
+        return jnp.mean(attn[:, :, 0, 1:], axis=1)
+    return jnp.mean(attn, axis=(1, 2))
+
+
+def geometric_relational_loss(
+    student_tokens: jnp.ndarray,
+    teacher_tokens: jnp.ndarray,
+    importance: jnp.ndarray,
+    *,
+    nuclear_backend: str = "gram",
+) -> jnp.ndarray:
+    """Attention-weighted Procrustes loss.
+
+    Args:
+        student_tokens: (B, N_s, D_s).
+        teacher_tokens: (B, N_s, D_t) — already aligned to the student
+            token count.
+        importance: (B, N_w) reduced attention importance; linearly
+            resampled to N_s if the token counts differ.
+
+    Returns:
+        scalar loss (mean over the batch).
+    """
+    s = student_tokens.astype(jnp.float32)
+    t = teacher_tokens.astype(jnp.float32)
+    n_s = s.shape[1]
+
+    w = importance.astype(jnp.float32)
+    if w.shape[-1] != n_s:
+        w = linear_interp1d(w, n_s, axis=-1)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    mu_s = jnp.einsum("bn,bnd->bd", w, s, precision=HI)[:, None, :]
+    mu_t = jnp.einsum("bn,bnd->bd", w, t, precision=HI)[:, None, :]
+    s_c = s - mu_s
+    t_c = t - mu_t
+
+    w_sqrt = jnp.sqrt(w)[..., None]
+    s_w = w_sqrt * s_c
+    t_w = w_sqrt * t_c
+
+    tr_s = jnp.sum(jnp.square(s_w), axis=(1, 2))
+    tr_t = jnp.sum(jnp.square(t_w), axis=(1, 2))
+    cross = jnp.einsum("bns,bnt->bst", s_w, t_w, precision=HI)
+    if nuclear_backend == "svd":
+        nuclear = linalg.nuclear_norm_ref(cross)
+    else:
+        nuclear = linalg.nuclear_norm(cross)
+
+    return jnp.mean(tr_s + tr_t - 2.0 * nuclear)
