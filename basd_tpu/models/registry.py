@@ -1,0 +1,302 @@
+"""Model registry, metadata probing, and teacher/student factories.
+
+Replaces the reference's timm/torch.hub auto-probing (reference:
+``src/models/teacher.py:42-148``) with an explicit registry exposing the
+same metadata surface (``embed_dim``, ``heads_per_layer``, ``depth``,
+``mlp_ratio``, ``layer_paths``, ``attn_subpath``, ``has_cls_token``,
+``feature_format``, ``num_tokens``, ``mean``, ``std``). Pretrained teacher
+weights are ported from torch state dicts when a local checkpoint is
+available (zero-egress environments cannot hit the timm/torch hubs);
+otherwise teachers initialize randomly, which preserves every
+computational property BASD exercises.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.models.convnext import ConvNeXtConfig, ConvNeXtV2
+from basd_tpu.models.resnet import ResNet, ResNetConfig
+from basd_tpu.models.vit import ViTConfig, VisionTransformer
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# -- presets ---------------------------------------------------------------
+
+_VIT_PRESETS: dict[str, dict] = {
+    "deit_tiny_patch16_224": dict(embed_dim=192, depth=12, num_heads=3,
+                                  mlp_ratio=4.0, patch_size=16),
+    "deit_small_patch16_224": dict(embed_dim=384, depth=12, num_heads=6,
+                                   mlp_ratio=4.0, patch_size=16),
+    "deit_base_patch16_224": dict(embed_dim=768, depth=12, num_heads=12,
+                                  mlp_ratio=4.0, patch_size=16),
+    "vit_large_patch16_224": dict(embed_dim=1024, depth=24, num_heads=16,
+                                  mlp_ratio=4.0, patch_size=16),
+    "dinov2_vitb14": dict(embed_dim=768, depth=12, num_heads=12,
+                          mlp_ratio=4.0, patch_size=14, layerscale_init=1e-5),
+    "dinov2_vitl14": dict(embed_dim=1024, depth=24, num_heads=16,
+                          mlp_ratio=4.0, patch_size=14, layerscale_init=1e-5),
+}
+
+_CNN_PRESETS: dict[str, dict] = {
+    "convnextv2_tiny.fcmae": dict(kind="convnext", depths=(3, 3, 9, 3),
+                                  dims=(96, 192, 384, 768)),
+    "convnextv2_tiny": dict(kind="convnext", depths=(3, 3, 9, 3),
+                            dims=(96, 192, 384, 768)),
+    "resnet50": dict(kind="resnet", stage_sizes=(3, 4, 6, 3), width=64),
+}
+
+
+def available_models() -> list[str]:
+    return sorted([*_VIT_PRESETS, *_CNN_PRESETS])
+
+
+@dataclass(frozen=True)
+class ModelBundle:
+    """A model definition + metadata (the reference's ``TeacherModel``
+    NamedTuple analogue, ``src/models/teacher.py:9-20``)."""
+
+    name: str
+    module: Any
+    cfg: Any
+    info: dict
+    mean: tuple[float, ...] = _IMAGENET_MEAN
+    std: tuple[float, ...] = _IMAGENET_STD
+
+
+def _vit_info(cfg: ViTConfig) -> dict:
+    """Metadata matching reference ``probe_model`` (``teacher.py:42-110``)."""
+    return {
+        "embed_dim": cfg.embed_dim,
+        "heads_per_layer": [cfg.num_heads] * cfg.depth,
+        "depth": cfg.depth,
+        "mlp_ratio": cfg.mlp_ratio,
+        "layer_paths": [f"blocks.{i}" for i in range(cfg.depth)],
+        "attn_subpath": "attn",
+        "has_cls_token": cfg.use_cls_token,
+        "feature_format": "token",
+        "num_tokens": cfg.num_tokens,
+    }
+
+
+def _cnn_info(name: str, cfg, img_size: int) -> dict:
+    if isinstance(cfg, ConvNeXtConfig):
+        depth = len(cfg.depths)
+        layer_paths = [f"stages.{i}" for i in range(depth)]
+        mlp_ratio = 4.0
+        reduction = 32
+    else:
+        depth = len(cfg.stage_sizes)
+        layer_paths = [f"layer{i + 1}" for i in range(depth)]
+        mlp_ratio = 0.0
+        reduction = 32
+    n = (img_size // reduction) ** 2
+    return {
+        "embed_dim": cfg.embed_dim,
+        "heads_per_layer": [1],  # synthetic single head (teacher.py:96-98)
+        "depth": depth,
+        "mlp_ratio": mlp_ratio,
+        "layer_paths": layer_paths,
+        "attn_subpath": None,
+        "has_cls_token": False,
+        "feature_format": "nhwc",
+        "num_tokens": n,
+    }
+
+
+def create_model(
+    name: str,
+    *,
+    img_size: int,
+    num_classes: int = 0,
+    drop_path_rate: float = 0.0,
+    arch_overrides: dict | None = None,
+    importance_mode: Optional[str] = None,
+    remat: bool = False,
+    dtype=jnp.float32,
+) -> ModelBundle:
+    """Build a model by preset name (the reference's
+    ``timm.create_model`` + ``probe_model`` in one step)."""
+    if name in _VIT_PRESETS:
+        preset = dict(_VIT_PRESETS[name])
+        patch = preset.pop("patch_size")
+        ls = preset.pop("layerscale_init", None)
+        cfg = ViTConfig(
+            img_size=img_size,
+            patch_size=patch,
+            num_classes=num_classes,
+            drop_path_rate=drop_path_rate,
+            layerscale_init=ls,
+            name=name,
+            **preset,
+        ).with_overrides(arch_overrides)
+        module = VisionTransformer(
+            cfg, importance_mode=importance_mode, remat=remat, dtype=dtype
+        )
+        return ModelBundle(name, module, cfg, _vit_info(cfg))
+    if name in _CNN_PRESETS:
+        preset = dict(_CNN_PRESETS[name])
+        kind = preset.pop("kind")
+        if kind == "convnext":
+            ccfg = ConvNeXtConfig(name=name, **preset)
+            module = ConvNeXtV2(ccfg, dtype=dtype)
+        else:
+            ccfg = ResNetConfig(name=name, **preset)
+            module = ResNet(ccfg, dtype=dtype)
+        return ModelBundle(name, module, ccfg, _cnn_info(name, ccfg, img_size))
+    raise KeyError(
+        f"unknown model preset {name!r}; available: {available_models()}"
+    )
+
+
+def probe(bundle: ModelBundle) -> dict:
+    """API-parity alias for the reference's ``probe_model``."""
+    return dict(bundle.info)
+
+
+# -- init -----------------------------------------------------------------
+
+
+def init_model(
+    bundle: ModelBundle,
+    key: jax.Array,
+    img_size: int,
+    *,
+    fan_in_init: bool = False,
+) -> dict:
+    """Initialize parameters; optionally re-init with the reference's
+    fan-in scheme (``src/train.py:19-32``)."""
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    variables = bundle.module.init(
+        {"params": key, "droppath": key}, dummy, deterministic=True
+    )
+    if fan_in_init:
+        params = apply_fan_in_init(variables["params"], key)
+        variables = {**variables, "params": params}
+    return variables
+
+
+def apply_fan_in_init(params, key: jax.Array):
+    """Re-initialize Dense kernels with trunc-normal std sqrt(2/fan_in),
+    biases/LN-bias to zero, LN scale to one; the patch-embed projection
+    (a conv in the reference) uses conv fan-out std sqrt(2/(k*k*D))
+    (reference: ``src/train.py:19-32``). cls_token/pos_embed keep their
+    native init, as in the reference (it only touches
+    Linear/LayerNorm/Conv2d modules)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    new_leaves = []
+    for path, leaf in flat:
+        names = [getattr(p, "key", str(p)) for p in path]
+        pathstr = "/".join(str(n) for n in names)
+        subkey = jax.random.fold_in(key, hash(pathstr) % (2**31))
+        last = names[-1]
+        if last == "kernel" and leaf.ndim >= 2:
+            if "patch_embed" in pathstr:
+                # conv fan_out = kernel_area * out_channels; kernel is
+                # (p*p*C, D) with C=3
+                fan_out = (leaf.shape[-2] // 3) * leaf.shape[-1]
+                std = (2.0 / fan_out) ** 0.5
+            else:
+                std = (2.0 / leaf.shape[-2]) ** 0.5
+            new_leaves.append(
+                std * jax.random.normal(subkey, leaf.shape, leaf.dtype)
+            )
+        elif last == "bias":
+            new_leaves.append(jnp.zeros_like(leaf))
+        elif last == "scale":  # LayerNorm weight
+            new_leaves.append(jnp.ones_like(leaf))
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+# -- teacher/student assembly ---------------------------------------------
+
+
+def load_teacher(
+    model_name: str,
+    img_size: int,
+    *,
+    seed: int = 0,
+    checkpoint_path: str | None = None,
+    dtype=jnp.bfloat16,
+) -> tuple[ModelBundle, dict]:
+    """Build the frozen teacher (reference: ``load_teacher``,
+    ``src/models/teacher.py:113-148``). Returns (bundle, variables).
+
+    ``checkpoint_path`` may point to a torch state-dict file (``.pth``) to
+    port pretrained weights; otherwise the teacher is randomly
+    initialized (no hub access in zero-egress environments).
+    """
+    is_vit = model_name in _VIT_PRESETS
+    bundle = create_model(
+        model_name,
+        img_size=img_size,
+        num_classes=0,
+        importance_mode="cls" if is_vit else None,
+        dtype=dtype,
+    )
+    variables = init_model(bundle, jax.random.PRNGKey(seed), img_size)
+    if checkpoint_path:
+        from basd_tpu.models.port import port_torch_checkpoint
+
+        variables = port_torch_checkpoint(checkpoint_path, bundle, variables)
+    print(
+        f"teacher_loaded model={model_name} embed_dim={bundle.info['embed_dim']} "
+        f"depth={bundle.info['depth']} heads_per_layer={bundle.info['heads_per_layer']} "
+        f"mlp_ratio={bundle.info['mlp_ratio']:.1f} "
+        f"feature_format={bundle.info['feature_format']} "
+        f"has_cls={bundle.info['has_cls_token']} "
+        f"attn_subpath={bundle.info['attn_subpath']} "
+        f"mean={bundle.mean} std={bundle.std}"
+    )
+    return bundle, variables
+
+
+def teacher_extract(bundle: ModelBundle, variables: dict, x: jnp.ndarray):
+    """Per-layer tokens + reduced attention importance for the teacher —
+    the reference's ``extract_intermediates`` (``teacher.py:180-216``).
+
+    Returns (tokens (L, B, N, D), importance (L, B, N)); CNN teachers
+    yield L=1 with uniform importance (``teacher.py:184-191``).
+    """
+    out = bundle.module.apply(variables, x, deterministic=True)
+    if bundle.info["feature_format"] == "token":
+        return out["tokens"], out["importance"]
+    feats = out["features"]
+    b, h, w, c = feats.shape
+    tokens = feats.reshape(b, h * w, c)[None]  # (1, B, N, C)
+    importance = jnp.full((1, b, h * w), 1.0 / (h * w), jnp.float32)
+    return tokens, importance
+
+
+def derive_student_arch(teacher_info: dict, intrinsic_dim: int) -> dict:
+    """Student auto-sizing from teacher intrinsic dimensionality
+    (reference: ``_derive_from_teacher``, ``src/train.py:57-66``)."""
+    head_dim = teacher_info["embed_dim"] // teacher_info["heads_per_layer"][0]
+    d_s = -(-intrinsic_dim // head_dim) * head_dim  # ceil to head_dim
+    d_s = min(d_s, teacher_info["embed_dim"])
+    return {
+        "embed_dim": d_s,
+        "depth": teacher_info["depth"],
+        "num_heads": d_s // head_dim,
+        "mlp_ratio": teacher_info["mlp_ratio"],
+    }
+
+
+def estimate_intrinsic_dim(
+    bundle: ModelBundle, variables: dict, images: jnp.ndarray
+) -> int:
+    """MP rank of last-layer teacher tokens over calibration images
+    (reference: ``estimate_intrinsic_dim``, ``teacher.py:161-177``)."""
+    from basd_tpu.ops.mp_rank import marchenko_pastur_rank
+
+    tokens, _ = teacher_extract(bundle, variables, images)
+    flat = tokens[-1].reshape(-1, tokens.shape[-1]).astype(jnp.float32)
+    return int(marchenko_pastur_rank(flat))

@@ -1,0 +1,134 @@
+"""Vision Transformer with native per-layer token + importance collection.
+
+TPU-first rebuild of the timm ViTs the reference drives via hooks
+(reference: ``src/models/teacher.py``, ``src/train.py:35-54``): blocks run
+under ``nn.scan`` with stacked parameters — one compiled block body
+regardless of depth — collecting per-layer cls-stripped tokens and
+attention importance as scan outputs. ``jax.checkpoint`` (remat) over the
+block mirrors the reference's ``set_grad_checkpointing(True)``
+(``src/train.py:53``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from basd_tpu.models.layers import Block, PatchEmbed
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    drop_path_rate: float = 0.0
+    use_cls_token: bool = True
+    layerscale_init: Optional[float] = None
+    norm_eps: float = 1e-6
+    name: str = "vit"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def num_tokens(self) -> int:
+        """Patch tokens (cls excluded) — the reference's ``num_tokens``
+        (``src/models/teacher.py:94``)."""
+        return self.num_patches
+
+    def with_overrides(self, overrides: dict | None) -> "ViTConfig":
+        if not overrides:
+            return self
+        allowed = {"embed_dim", "depth", "num_heads", "mlp_ratio"}
+        unknown = set(overrides) - allowed
+        if unknown:
+            raise ValueError(f"unsupported arch overrides: {sorted(unknown)}")
+        return replace(self, **{k: overrides[k] for k in overrides})
+
+
+class VisionTransformer(nn.Module):
+    """Returns ``{'logits', 'tokens' (L,B,N,D), 'importance' (L,B,N)}``.
+
+    ``importance_mode``: None (student — no attention maps needed),
+    'cls' or 'mean' (teacher). Importance semantics follow
+    ``basd_tpu.ops.procrustes.reduce_attention_importance``.
+    """
+
+    cfg: ViTConfig
+    importance_mode: Optional[str] = None
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        b = x.shape[0]
+        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=self.dtype,
+                       name="patch_embed")(x)
+
+        if cfg.use_cls_token:
+            cls = self.param(
+                "cls_token", nn.initializers.normal(1e-6), (1, 1, cfg.embed_dim)
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(x.dtype), x],
+                axis=1,
+            )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, x.shape[1], cfg.embed_dim),
+        )
+        x = x + pos.astype(x.dtype)
+
+        # linearly-spaced per-layer stochastic-depth rates (timm convention)
+        rates = jnp.asarray(
+            np.linspace(0.0, cfg.drop_path_rate, cfg.depth), jnp.float32
+        )
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(
+                Block,
+                prevent_cse=False,
+                static_argnums=(2,),  # deterministic flag
+            )
+        blocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "droppath": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=cfg.depth,
+        )(
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            importance_mode=self.importance_mode,
+            layerscale_init=cfg.layerscale_init,
+            drop_path_max=cfg.drop_path_rate,
+            has_cls_token=cfg.use_cls_token,
+            dtype=self.dtype,
+            norm_eps=cfg.norm_eps,
+            name="blocks",
+        )
+        x, (tokens, importance) = blocks(x, rates, deterministic)
+
+        x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype, name="norm")(x)
+        pooled = x[:, 0] if cfg.use_cls_token else jnp.mean(x, axis=1)
+        logits = (
+            nn.Dense(cfg.num_classes, dtype=self.dtype, name="head")(pooled)
+            if cfg.num_classes > 0
+            else pooled
+        )
+        return {"logits": logits, "tokens": tokens, "importance": importance}
