@@ -1,0 +1,440 @@
+"""Device-side image augmentation (jit-compiled, runs inside the train
+step).
+
+The reference builds its views on the host with torchvision v2
+(reference: ``src/data/datasets.py:137-156``):
+
+- augmented view: RandomResizedCrop -> RandomHorizontalFlip ->
+  TrivialAugmentWide -> normalize(dataset stats);
+- clean view: Resize(round(S/crop_ratio)) -> CenterCrop(S) ->
+  normalize(teacher stats);
+- MixUp/CutMix (RandomChoice, alpha=1.0) on the augmented view only
+  (reference: ``src/training/trainer.py:89-92,138``).
+
+TPU-first: the host ships ONE (B, R, R, 3) uint8 canvas per batch
+(R = round(S / crop_ratio), aspect-resized + center-cropped); both views,
+all 14 TrivialAugmentWide ops, and MixUp/CutMix are computed on device in
+the jitted step. This halves H2D bytes vs the reference's two f32 views
+and moves augmentation off the host CPU entirely.
+
+Faithfulness notes: op semantics mirror torchvision (PIL) — NEAREST
+resampling with zero fill for geometric TAW ops, exact Enhance blends,
+integer histogram equalize; RandomResizedCrop boxes are sampled on the
+R x R canvas rather than the original-resolution image (a documented
+distributional deviation for aspect ratios != 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# TrivialAugmentWide magnitude space (torchvision v2, num_bins=31)
+_NUM_BINS = 31
+_NUM_OPS = 14
+
+
+def _taw_magnitudes():
+    import numpy as np
+
+    bins = np.arange(_NUM_BINS, dtype=np.float32)
+    lin = lambda hi: np.linspace(0.0, hi, _NUM_BINS, dtype=np.float32)
+    mags = np.zeros((_NUM_OPS, _NUM_BINS), np.float32)
+    signed = np.zeros((_NUM_OPS,), np.float32)
+    # 0 Identity
+    # 1 ShearX, 2 ShearY (factor 0..0.99, signed)
+    mags[1] = lin(0.99); signed[1] = 1
+    mags[2] = lin(0.99); signed[2] = 1
+    # 3 TranslateX, 4 TranslateY (0..32 px, signed)
+    mags[3] = lin(32.0); signed[3] = 1
+    mags[4] = lin(32.0); signed[4] = 1
+    # 5 Rotate (0..135 deg, signed)
+    mags[5] = lin(135.0); signed[5] = 1
+    # 6 Brightness, 7 Color, 8 Contrast, 9 Sharpness (0..0.99, signed)
+    for i in (6, 7, 8, 9):
+        mags[i] = lin(0.99); signed[i] = 1
+    # 10 Posterize: 8 - round(bin / ((nb-1)/6)) -> 8..2 bits
+    mags[10] = 8.0 - np.round(bins / ((_NUM_BINS - 1) / 6.0))
+    # 11 Solarize: 255..0
+    mags[11] = np.linspace(255.0, 0.0, _NUM_BINS, dtype=np.float32)
+    # 12 AutoContrast, 13 Equalize: no magnitude
+    return jnp.asarray(mags), jnp.asarray(signed)
+
+
+_TAW_MAGS, _TAW_SIGNED = _taw_magnitudes()
+
+
+# -- geometric ops ---------------------------------------------------------
+
+
+def _affine_nearest(img: jnp.ndarray, mat: jnp.ndarray, offset: jnp.ndarray):
+    """Inverse-map an (H, W, C) image: src = mat @ dst + offset, nearest
+    sampling, zero fill (torchvision tensor-mode defaults for TAW)."""
+    h, w = img.shape[0], img.shape[1]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = mat[0, 0] * xx + mat[0, 1] * yy + offset[0]
+    sy = mat[1, 0] * xx + mat[1, 1] * yy + offset[1]
+    ix = jnp.round(sx).astype(jnp.int32)
+    iy = jnp.round(sy).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ixc = jnp.clip(ix, 0, w - 1)
+    iyc = jnp.clip(iy, 0, h - 1)
+    out = img[iyc, ixc]
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _centered_affine(img, a, b, c, d, tx, ty):
+    """src = A @ (dst - center - t) + center with A = [[a,b],[c,d]]."""
+    h, w = img.shape[0], img.shape[1]
+    cx, cy = (w - 1) * 0.5, (h - 1) * 0.5
+    mat = jnp.asarray([[a, b], [c, d]], jnp.float32)
+    offset = jnp.asarray(
+        [
+            cx - (a * (cx + tx) + b * (cy + ty)),
+            cy - (c * (cx + tx) + d * (cy + ty)),
+        ],
+        jnp.float32,
+    )
+    return _affine_nearest(img, mat, offset)
+
+
+def _shear_x(img, m):
+    return _centered_affine(img, 1.0, -m, 0.0, 1.0, 0.0, 0.0)
+
+
+def _shear_y(img, m):
+    return _centered_affine(img, 1.0, 0.0, -m, 1.0, 0.0, 0.0)
+
+
+def _translate_x(img, px):
+    return _centered_affine(img, 1.0, 0.0, 0.0, 1.0, px, 0.0)
+
+
+def _translate_y(img, px):
+    return _centered_affine(img, 1.0, 0.0, 0.0, 1.0, 0.0, px)
+
+
+def _rotate(img, deg):
+    rad = deg * (jnp.pi / 180.0)
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    # torchvision/PIL rotate: positive angle is visually counter-clockwise
+    # (y-down pixel coords), so the inverse map applies the visually-CW
+    # rotation [[cos, -sin], [sin, cos]].
+    return _centered_affine(img, cos, -sin, sin, cos, 0.0, 0.0)
+
+
+# -- photometric ops (PIL semantics, on float images in [0, 255]) ----------
+
+
+def _gray(img):
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def _blend(a, b, f):
+    """PIL Image.blend-style: a + f * (b - a), clipped."""
+    return jnp.clip(a + f * (b - a), 0.0, 255.0)
+
+
+def _brightness(img, f):
+    return jnp.clip(img * f, 0.0, 255.0)
+
+
+def _color(img, f):
+    g = _gray(img)[..., None]
+    return _blend(jnp.broadcast_to(g, img.shape), img, f)
+
+
+def _contrast(img, f):
+    # torchvision: mean over the rounded grayscale image
+    mean = jnp.mean(jnp.round(_gray(img)))
+    return _blend(jnp.full_like(img, mean), img, f)
+
+
+def _sharpness(img, f):
+    # PIL SMOOTH kernel, borders passed through unchanged
+    kernel = jnp.asarray(
+        [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]], jnp.float32
+    ) / 13.0
+    blurred = jax.lax.conv_general_dilated(
+        img[None].transpose(0, 3, 1, 2),
+        jnp.broadcast_to(kernel, (img.shape[-1], 1, 3, 3)),
+        (1, 1),
+        "SAME",
+        feature_group_count=img.shape[-1],
+    )[0].transpose(1, 2, 0)
+    blurred = jnp.clip(jnp.round(blurred), 0.0, 255.0)
+    h, w = img.shape[0], img.shape[1]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (yy == 0) | (yy == h - 1) | (xx == 0) | (xx == w - 1)
+    blurred = jnp.where(border[..., None], img, blurred)
+    return _blend(blurred, img, f)
+
+
+def _posterize(img, bits):
+    shift = (8.0 - bits).astype(jnp.int32) if hasattr(bits, "astype") else int(8 - bits)
+    q = img.astype(jnp.int32)
+    mask = jnp.left_shift(jnp.right_shift(q, shift), shift)
+    return mask.astype(jnp.float32)
+
+
+def _solarize(img, threshold):
+    return jnp.where(img >= threshold, 255.0 - img, img)
+
+
+def _autocontrast(img, _):
+    lo = jnp.min(img, axis=(0, 1), keepdims=True)
+    hi = jnp.max(img, axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
+    out = jnp.clip((img - lo) * scale, 0.0, 255.0)
+    return jnp.where(hi > lo, out, img)
+
+
+def _equalize_channel(chan):
+    """torchvision _scale_channel semantics on a uint8-valued channel."""
+    ichan = chan.astype(jnp.int32).reshape(-1)
+    hist = jnp.zeros((256,), jnp.int32).at[ichan].add(1)
+    # step = (pixel count minus the last nonzero bin's count) // 255
+    nonzero = hist > 0
+    idx = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0).squeeze(-1)
+    last_nz = jnp.max(jnp.where(nonzero, idx, -1))
+    step = (jnp.sum(hist) - hist[last_nz]) // 255
+    cum = jnp.cumsum(hist)
+    lut = (cum + step // 2) // jnp.maximum(step, 1)
+    lut = jnp.clip(jnp.concatenate([jnp.zeros((1,), lut.dtype), lut[:-1]]), 0, 255)
+    eq = lut[ichan].reshape(chan.shape).astype(jnp.float32)
+    return jnp.where(step == 0, chan, eq)
+
+
+def _equalize(img, _):
+    return jnp.stack(
+        [_equalize_channel(jnp.round(img[..., c])) for c in range(img.shape[-1])],
+        axis=-1,
+    )
+
+
+_TAW_FNS = [
+    lambda img, m: img,  # identity
+    _shear_x,
+    _shear_y,
+    _translate_x,
+    _translate_y,
+    _rotate,
+    lambda img, m: _brightness(img, 1.0 + m),
+    lambda img, m: _color(img, 1.0 + m),
+    lambda img, m: _contrast(img, 1.0 + m),
+    lambda img, m: _sharpness(img, 1.0 + m),
+    _posterize,
+    _solarize,
+    _autocontrast,
+    _equalize,
+]
+
+
+def trivial_augment_wide(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
+    """One uniformly-chosen op at a uniformly-chosen magnitude, sign
+    flipped with p=0.5 (torchvision TrivialAugmentWide). ``img`` is
+    (H, W, C) float32 in [0, 255]; TAW operates on integer-valued pixels,
+    so the input is rounded first."""
+    k_op, k_mag, k_sign = jax.random.split(key, 3)
+    img = jnp.round(jnp.clip(img, 0.0, 255.0))
+    op = jax.random.randint(k_op, (), 0, _NUM_OPS)
+    mag_idx = jax.random.randint(k_mag, (), 0, _NUM_BINS)
+    mag = _TAW_MAGS[op, mag_idx]
+    sign = jnp.where(
+        (_TAW_SIGNED[op] > 0) & jax.random.bernoulli(k_sign, 0.5), -1.0, 1.0
+    )
+    mag = mag * sign
+    out = jax.lax.switch(op, _TAW_FNS, img, mag)
+    return jnp.round(jnp.clip(out, 0.0, 255.0))
+
+
+# -- RandomResizedCrop -----------------------------------------------------
+
+
+def _rrc_params(key, h, w, scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """torchvision RandomResizedCrop.get_params: 10 attempts then center
+    fallback. Returns (top, left, height, width) float32."""
+    area = float(h * w)
+    keys = jax.random.split(key, 3)
+    u_area = jax.random.uniform(keys[0], (10,), minval=scale[0], maxval=scale[1])
+    logr = jax.random.uniform(
+        keys[1], (10,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    target_area = area * u_area
+    aspect = jnp.exp(logr)
+    ws = jnp.round(jnp.sqrt(target_area * aspect))
+    hs = jnp.round(jnp.sqrt(target_area / aspect))
+    valid = (ws > 0) & (ws <= w) & (hs > 0) & (hs <= h)
+    first = jnp.argmax(valid)  # first True (0 if none)
+    any_valid = jnp.any(valid)
+    cw = ws[first]
+    ch = hs[first]
+    u_ij = jax.random.uniform(keys[2], (2,))
+    top = jnp.floor(u_ij[0] * (h - ch + 1.0))
+    left = jnp.floor(u_ij[1] * (w - cw + 1.0))
+
+    # fallback: clamp aspect, center
+    in_ratio = w / h
+    fw = jnp.where(
+        in_ratio < ratio[0], float(w),
+        jnp.where(in_ratio > ratio[1], jnp.round(h * ratio[1]), float(w)),
+    )
+    fh = jnp.where(
+        in_ratio < ratio[0], jnp.round(w / ratio[0]),
+        jnp.where(in_ratio > ratio[1], float(h), float(h)),
+    )
+    ftop = jnp.round((h - fh) / 2.0)
+    fleft = jnp.round((w - fw) / 2.0)
+
+    top = jnp.where(any_valid, top, ftop)
+    left = jnp.where(any_valid, left, fleft)
+    ch = jnp.where(any_valid, ch, fh)
+    cw = jnp.where(any_valid, cw, fw)
+    return top, left, ch, cw
+
+
+def random_resized_crop(
+    key: jax.Array, img: jnp.ndarray, out_size: int
+) -> jnp.ndarray:
+    """(H, W, C) float -> (S, S, C); bilinear with antialias (torchvision
+    v2 default)."""
+    h, w = img.shape[0], img.shape[1]
+    top, left, ch, cw = _rrc_params(key, h, w)
+    scale_y = out_size / ch
+    scale_x = out_size / cw
+    return jax.image.scale_and_translate(
+        img,
+        (out_size, out_size, img.shape[2]),
+        (0, 1),
+        jnp.asarray([scale_y, scale_x], jnp.float32),
+        jnp.asarray([-top * scale_y, -left * scale_x], jnp.float32),
+        method="linear",
+        antialias=True,
+    )
+
+
+def center_crop(img: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    h, w = img.shape[-3], img.shape[-2]
+    top = (h - out_size) // 2
+    left = (w - out_size) // 2
+    return img[..., top : top + out_size, left : left + out_size, :]
+
+
+def normalize(img01: jnp.ndarray, mean, std) -> jnp.ndarray:
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (img01 - mean) / std
+
+
+# -- MixUp / CutMix --------------------------------------------------------
+
+
+def mixup_cutmix(
+    key: jax.Array,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int,
+    alpha: float = 1.0,
+    num_shards: int = 1,
+):
+    """torchvision v2 RandomChoice([MixUp, CutMix]) with alpha=1.0
+    (reference: ``src/training/trainer.py:89-92``): one lambda per batch,
+    partner = batch rolled by 1; returns (mixed images, soft targets).
+
+    ``num_shards`` > 1 rolls within each data-parallel shard instead of
+    across the global batch — exactly the reference's multi-GPU behavior
+    (DDP applies MixUp per process) — so no cross-device collective is
+    needed inside the augmentation."""
+    k_choice, k_lam, k_box = jax.random.split(key, 3)
+    lam = jax.random.beta(k_lam, alpha, alpha)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+    def shard_roll(x):
+        if num_shards <= 1:
+            return jnp.roll(x, 1, axis=0)
+        b = x.shape[0]
+        per = b // num_shards
+        grouped = x.reshape((num_shards, per) + x.shape[1:])
+        return jnp.roll(grouped, 1, axis=1).reshape(x.shape)
+
+    rolled_img = shard_roll(images)
+    rolled_lab = shard_roll(onehot)
+
+    h, w = images.shape[1], images.shape[2]
+
+    def do_mixup(_):
+        mixed = lam * images + (1.0 - lam) * rolled_img
+        return mixed, lam
+
+    def do_cutmix(_):
+        r_y = jax.random.randint(k_box, (), 0, h)
+        r_x = jax.random.randint(jax.random.fold_in(k_box, 1), (), 0, w)
+        r_h = jnp.sqrt(1.0 - lam) * h
+        r_w = jnp.sqrt(1.0 - lam) * w
+        y1 = jnp.clip(r_y - r_h / 2, 0, h).astype(jnp.int32)
+        y2 = jnp.clip(r_y + r_h / 2, 0, h).astype(jnp.int32)
+        x1 = jnp.clip(r_x - r_w / 2, 0, w).astype(jnp.int32)
+        x2 = jnp.clip(r_x + r_w / 2, 0, w).astype(jnp.int32)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        box = ((yy >= y1) & (yy < y2) & (xx >= x1) & (xx < x2))[None, :, :, None]
+        mixed = jnp.where(box, rolled_img, images)
+        lam_adj = 1.0 - ((y2 - y1) * (x2 - x1)) / (h * w)
+        return mixed, lam_adj
+
+    use_mixup = jax.random.bernoulli(k_choice, 0.5)
+    mixed, lam_eff = jax.lax.cond(use_mixup, do_mixup, do_cutmix, None)
+    targets = lam_eff * onehot + (1.0 - lam_eff) * rolled_lab
+    return mixed, targets
+
+
+# -- batch pipelines -------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("out_size", "train_stats", "teacher_stats"))
+def make_train_views(
+    key: jax.Array,
+    images_u8: jnp.ndarray,
+    out_size: int,
+    train_stats: tuple,
+    teacher_stats: tuple,
+):
+    """uint8 (B, R, R, 3) canvas -> (clean, augmented) f32 views.
+
+    clean: center crop S + teacher-stats normalize (reference clean_tf);
+    augmented: RRC + hflip + TAW + dataset-stats normalize (reference
+    aug_tf). MixUp/CutMix is applied separately by the trainer so train
+    accuracy can use unmixed targets (reference ``trainer.py:163``).
+    """
+    b = images_u8.shape[0]
+    imgs = images_u8.astype(jnp.float32)
+
+    clean = center_crop(imgs, out_size) / 255.0
+    t_mean, t_std = teacher_stats
+    clean = normalize(clean, t_mean, t_std)
+
+    keys = jax.random.split(key, (b, 3))
+
+    def one(img, ks):
+        crop = random_resized_crop(ks[0], img, out_size)
+        flip = jax.random.bernoulli(ks[1], 0.5)
+        crop = jnp.where(flip, crop[:, ::-1, :], crop)
+        return trivial_augment_wide(ks[2], crop)
+
+    aug = jax.vmap(one)(imgs, keys)
+    d_mean, d_std = train_stats
+    aug = normalize(aug / 255.0, d_mean, d_std)
+    return clean, aug
+
+
+@partial(jax.jit, static_argnames=("out_size", "stats"))
+def make_eval_view(images_u8: jnp.ndarray, out_size: int, stats: tuple):
+    imgs = images_u8.astype(jnp.float32)
+    x = center_crop(imgs, out_size) / 255.0
+    mean, std = stats
+    return normalize(x, mean, std)

@@ -1,0 +1,206 @@
+"""Eval suite: accuracy/robustness metrics + efficiency measurement.
+
+Mirrors the reference's ``src/evaluation/metrics.py``:
+
+- ``evaluate_model``: top-1/top-5 micro accuracy + CE, with optional
+  ``valid_indices`` logit slicing for subset robustness datasets
+  (reference: ``metrics.py:19-55``);
+- ``measure_efficiency``: param count, GFLOPs (XLA cost analysis replaces
+  ``FlopCounterMode``), and steady-state throughput with
+  ``block_until_ready`` timing (reference: ``metrics.py:58-97``);
+- ``run_eval_suite``: primary + class-remapped robustness datasets +
+  efficiency, one structured dict (reference: ``metrics.py:100-164``);
+- ``save_metrics`` -> ``metrics.json`` (reference: ``metrics.py:167-171``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basd_tpu.data import augment as aug
+from basd_tpu.data.pipeline import prefetch
+from basd_tpu.data.sources import (
+    dataset_info,
+    get_channel_stats,
+    get_subset_indices,
+    make_source,
+)
+from basd_tpu.parallel import mesh as meshlib
+
+
+def evaluate_model(
+    apply_fn,
+    params,
+    source,
+    *,
+    mesh,
+    img_size: int,
+    batch_size: int,
+    crop_ratio: float,
+    stats: tuple,
+    num_classes: int,
+    valid_indices=None,
+    label_smoothing: float = 0.0,
+) -> dict[str, Any]:
+    idx = None if valid_indices is None else jnp.asarray(tuple(valid_indices))
+    stats = tuple(map(tuple, stats))
+
+    @jax.jit
+    def step(params, images_u8, labels):
+        x = aug.make_eval_view(images_u8, img_size, stats)
+        logits = apply_fn(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
+        if idx is not None:
+            logits = logits[:, idx]
+        valid = labels >= 0
+        num_c = logits.shape[-1]
+        onehot = jax.nn.one_hot(labels, num_c, dtype=jnp.float32)
+        if label_smoothing:
+            onehot = onehot * (1.0 - label_smoothing) + label_smoothing / num_c
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.sum(onehot * logp, axis=-1)
+        k5 = min(5, num_c)
+        _, top5_idx = jax.lax.top_k(logits, k5)
+        return {
+            "ce_sum": jnp.sum(jnp.where(valid, ce, 0.0)),
+            "top1": jnp.sum((jnp.argmax(logits, -1) == labels) & valid),
+            "top5": jnp.sum(jnp.any(top5_idx == labels[:, None], -1) & valid),
+            "count": jnp.sum(valid),
+        }
+
+    r = round(img_size / crop_ratio)
+    ce = top1 = top5 = total = 0
+    batches = source.load_batches(
+        "eval", batch_size, r, shuffle=False, seed=0, drop_last=False
+    )
+    for batch in prefetch(batches):
+        sharded = meshlib.shard_batch(mesh, batch)
+        m = step(params, sharded["image"], sharded["label"])
+        ce += float(m["ce_sum"])
+        top1 += int(m["top1"])
+        top5 += int(m["top5"])
+        total += int(m["count"])
+    total = max(total, 1)
+    return {
+        "val_acc": 100.0 * top1 / total,
+        "val_acc_top5": 100.0 * top5 / total,
+        "loss": ce / total,
+    }
+
+
+def measure_efficiency(
+    apply_fn,
+    params,
+    *,
+    img_size: int,
+    in_channels: int = 3,
+    batch_size: int = 64,
+    num_warmup: int = 50,
+    num_batches: int = 200,
+) -> dict[str, float]:
+    param_count = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
+    )
+
+    fwd = jax.jit(lambda p, x: apply_fn(p, x))
+    x1 = jnp.zeros((1, img_size, img_size, in_channels), jnp.bfloat16)
+    lowered = fwd.lower(params, x1)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns a list per computation
+        cost = cost[0] if cost else {}
+    gflops = float(cost.get("flops", 0.0)) / 1e9
+
+    xb = jnp.zeros((batch_size, img_size, img_size, in_channels), jnp.bfloat16)
+    out = None
+    for _ in range(num_warmup):
+        out = fwd(params, xb)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(num_batches):
+        out = fwd(params, xb)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+    return {
+        "param_count": param_count,
+        "param_count_m": param_count / 1e6,
+        "gflops": gflops,
+        "throughput_img_per_sec": (batch_size * num_batches) / elapsed,
+    }
+
+
+def run_eval_suite(
+    apply_fn,
+    params,
+    config,
+    *,
+    mesh,
+    config_path: str,
+    efficiency_batches: int = 200,
+) -> dict[str, Any]:
+    datasets_to_eval = [config.data.dataset] + list(config.data.eval_datasets)
+    mean, std = get_channel_stats(config.data.dataset)
+    crop_ratio = config.data.eval_crop_ratio
+    primary_num_classes = dataset_info(config.data.dataset)["num_classes"]
+
+    primary_results: dict = {}
+    robustness_results: dict = {}
+    for ds_name in datasets_to_eval:
+        source = make_source(ds_name, config.data.get("source", "hf"))
+        valid_indices = get_subset_indices(ds_name, config.data.dataset)
+        num_classes = (
+            len(valid_indices) if valid_indices is not None else primary_num_classes
+        )
+        metrics = evaluate_model(
+            apply_fn,
+            params,
+            source,
+            mesh=mesh,
+            img_size=config.model.vit.img_size,
+            batch_size=config.data.batch_size,
+            crop_ratio=crop_ratio,
+            stats=(mean, std),
+            num_classes=num_classes,
+            valid_indices=valid_indices,
+        )
+        if ds_name == config.data.dataset:
+            primary_results = metrics
+        else:
+            robustness_results[ds_name] = metrics
+        print(
+            f"eval {ds_name} top1={metrics['val_acc']:.4f} "
+            f"top5={metrics['val_acc_top5']:.4f} loss={metrics['loss']:.6f}"
+        )
+
+    efficiency = measure_efficiency(
+        apply_fn,
+        params,
+        img_size=config.model.vit.img_size,
+        num_batches=efficiency_batches,
+    )
+    print(
+        f"efficiency params_m={efficiency['param_count_m']:.4f} "
+        f"gflops={efficiency['gflops']:.4f} "
+        f"throughput={efficiency['throughput_img_per_sec']:.2f} img/s"
+    )
+    return {
+        "run": {"name": config.run.name, "config": config_path},
+        "primary": {"dataset": config.data.dataset, **primary_results},
+        "robustness": robustness_results,
+        "efficiency": efficiency,
+    }
+
+
+def save_metrics(results: dict[str, Any], output_dir: Path) -> Path:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    metrics_path = output_dir / "metrics.json"
+    with open(metrics_path, "w") as f:
+        json.dump(results, f, indent=2)
+    return metrics_path

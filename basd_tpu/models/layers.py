@@ -49,12 +49,11 @@ class DropPath(nn.Module):
     """Per-sample stochastic depth (timm semantics: scale_by_keep)."""
 
     rate_max: float = 0.0  # static upper bound; actual rate passed per call
+    deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x, rate, deterministic: bool):
-        if self.rate_max == 0.0:
-            return x
-        if deterministic:
+    def __call__(self, x, rate):
+        if self.rate_max == 0.0 or self.deterministic:
             return x
         keep = 1.0 - rate
         rng = self.make_rng("droppath")
@@ -156,11 +155,12 @@ class Block(nn.Module):
     layerscale_init: Optional[float] = None
     drop_path_max: float = 0.0
     has_cls_token: bool = True
+    deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x, drop_path_rate, deterministic: bool):
+    def __call__(self, x, drop_path_rate):
         d = x.shape[-1]
         y, importance = Attention(
             self.num_heads,
@@ -170,18 +170,18 @@ class Block(nn.Module):
         )(nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x))
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name="ls1")(y)
-        x = x + DropPath(self.drop_path_max, name="drop_path1")(
-            y, drop_path_rate, deterministic
-        )
+        x = x + DropPath(
+            self.drop_path_max, self.deterministic, name="drop_path1"
+        )(y, drop_path_rate)
 
         y = Mlp(
             int(d * self.mlp_ratio), d, dtype=self.dtype, name="mlp"
         )(nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x))
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name="ls2")(y)
-        x = x + DropPath(self.drop_path_max, name="drop_path2")(
-            y, drop_path_rate, deterministic
-        )
+        x = x + DropPath(
+            self.drop_path_max, self.deterministic, name="drop_path2"
+        )(y, drop_path_rate)
 
         # per-layer collected outputs: cls-stripped tokens (reference
         # strips cls in hooks: teacher.py:202, trainer.py:29)

@@ -99,16 +99,12 @@ class VisionTransformer(nn.Module):
 
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(
-                Block,
-                prevent_cse=False,
-                static_argnums=(2,),  # deterministic flag
-            )
+            block_cls = nn.remat(Block, prevent_cse=False)
         blocks = nn.scan(
             block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "droppath": True},
-            in_axes=(0, nn.broadcast),
+            in_axes=(0,),
             out_axes=0,
             length=cfg.depth,
         )(
@@ -118,11 +114,12 @@ class VisionTransformer(nn.Module):
             layerscale_init=cfg.layerscale_init,
             drop_path_max=cfg.drop_path_rate,
             has_cls_token=cfg.use_cls_token,
+            deterministic=deterministic,
             dtype=self.dtype,
             norm_eps=cfg.norm_eps,
             name="blocks",
         )
-        x, (tokens, importance) = blocks(x, rates, deterministic)
+        x, (tokens, importance) = blocks(x, rates)
 
         x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype, name="norm")(x)
         pooled = x[:, 0] if cfg.use_cls_token else jnp.mean(x, axis=1)

@@ -1,0 +1,91 @@
+"""Device mesh and sharding utilities.
+
+The reference's only distribution hook is HF Accelerate DDP (reference:
+``src/training/trainer.py:80-82``), with train/val metrics never reduced
+across ranks (a latent multi-GPU correctness gap, SURVEY.md §5). The TPU
+build uses an explicit ``jax.sharding.Mesh``:
+
+- ``data`` axis: batch sharded over ICI (the v5e-8 scale-out axis);
+- ``model`` axis (optional): tensor-sharding of large teacher/student
+  Dense kernels via parameter PartitionSpec rules, letting GSPMD insert
+  the collectives.
+
+Metrics are computed as global-batch sums inside jit — GSPMD inserts the
+cross-device reduction automatically, fixing the reference's gap.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Parameter sharding rules for the optional tensor-parallel axis: shard
+# the big Dense kernels' output (or input) dim over 'model'. Biases and
+# norms stay replicated.
+_DEFAULT_RULES: list[tuple[str, P]] = [
+    (r".*attn/qkv/kernel$", P(None, None, "model")),
+    (r".*attn/proj/kernel$", P(None, "model", None)),
+    (r".*mlp/fc1/kernel$", P(None, None, "model")),
+    (r".*mlp/fc2/kernel$", P(None, "model", None)),
+]
+
+
+def param_sharding(mesh: Mesh, params: Any, rules=None) -> Any:
+    """PartitionSpec tree for a parameter pytree by path-regex rules.
+    With a singleton model axis everything is replicated."""
+    rules = _DEFAULT_RULES if rules is None else rules
+    use_model = mesh.shape.get("model", 1) > 1
+
+    def spec_for(path, leaf) -> NamedSharding:
+        if use_model:
+            names = "/".join(
+                str(getattr(p, "key", p)) for p in path
+            )
+            for pat, spec in rules:
+                if re.match(pat, names) and leaf.ndim == len(spec):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Host numpy batch -> global device arrays sharded on the data axis.
+
+    Pads the batch up to a multiple of the data-axis size if needed
+    (padded rows carry label -1 so metrics can mask them)."""
+    sharding = batch_sharding(mesh)
+    ndata = mesh.shape["data"]
+    out = {}
+    b = next(iter(batch.values())).shape[0]
+    pad = (-b) % ndata
+    for k, v in batch.items():
+        if pad:
+            fill = np.full((pad,) + v.shape[1:], -1 if v.ndim == 1 else 0, v.dtype)
+            v = np.concatenate([v, fill], axis=0)
+        out[k] = jax.device_put(v, sharding)
+    return out

@@ -1,0 +1,372 @@
+"""BASD trainer: jitted distillation step over a device mesh.
+
+Rebuilds the reference ``Trainer`` (``src/training/trainer.py:40-211``)
+TPU-first. One jitted, donated train step performs, on device:
+
+    uint8 canvas -> dual views (clean + augmented) -> MixUp/CutMix ->
+    teacher forward (frozen, bf16, per-layer tokens + importance) ->
+    student forward (bf16, remat-able, logits + extraction-point tokens) ->
+    BASD loss (selector + Procrustes + UW-SO, f32 spectral math) ->
+    schedule-free AdamW update -> psum'd metrics
+
+The batch is sharded over the mesh's ``data`` axis; parameters and
+selector state are replicated (optionally tensor-sharded over ``model``);
+GSPMD inserts gradient and metric reductions. Train accuracy uses the
+un-mixed targets (reference ``trainer.py:163``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basd_tpu.data import augment as aug
+from basd_tpu.data.pipeline import prefetch
+from basd_tpu.losses import BASDLossConfig, basd_loss, init_basd_loss
+from basd_tpu.models.registry import ModelBundle, teacher_extract
+from basd_tpu.parallel import mesh as meshlib
+from basd_tpu.training import schedulefree as sf
+from basd_tpu.utils import checkpoint as ckpt
+
+
+class Trainer:
+    def __init__(
+        self,
+        config,
+        *,
+        student_bundle: ModelBundle,
+        student_params: dict,
+        teacher_bundle: ModelBundle,
+        teacher_vars: dict,
+        mesh,
+        dataset_stats: tuple,
+        teacher_stats: tuple,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.student = student_bundle
+        self.teacher = teacher_bundle
+        self.teacher_vars = teacher_vars
+        self.dataset_stats = tuple(map(tuple, dataset_stats))
+        self.teacher_stats = tuple(map(tuple, teacher_stats))
+        self.img_size = config.model.vit.img_size
+        self.num_classes = config.model.num_classes
+
+        s_info = student_bundle.info
+        self.loss_cfg = BASDLossConfig(
+            student_dim=s_info["embed_dim"],
+            teacher_dim=teacher_bundle.info["embed_dim"],
+            student_depth=s_info["depth"],
+            num_student_tokens=s_info["num_tokens"],
+            num_extraction_points=config.basd.num_extraction_points,
+            label_smoothing=config.training.label_smoothing,
+            teacher_has_cls_token=teacher_bundle.info["has_cls_token"],
+            backend=config.basd.get("spectral_backend", "gram"),
+        )
+        self.token_layers = self.loss_cfg.token_layers
+
+        sel_params, self.sel_buffers = init_basd_loss(
+            jax.random.PRNGKey(config.run.seed + 1), self.loss_cfg
+        )
+        trainable = {"student": student_params, "basd": sel_params}
+
+        self.sf_cfg = sf.ScheduleFreeConfig(
+            learning_rate=config.training.learning_rate,
+            weight_decay=config.training.weight_decay,
+        )
+        self.opt_state = sf.init(trainable)
+        # place state/buffers on the mesh: replicated over 'data', with the
+        # large Dense kernels optionally tensor-sharded over 'model'
+        # (parameter-spec rules in parallel.mesh; GSPMD inserts the
+        # collectives in the matmuls).
+        rep = meshlib.replicated(mesh)
+        train_spec = meshlib.param_sharding(mesh, trainable)
+        self.opt_state = sf.ScheduleFreeState(
+            x=jax.device_put(self.opt_state.x, train_spec),
+            z=jax.device_put(self.opt_state.z, train_spec),
+            v=jax.device_put(self.opt_state.v, train_spec),
+            k=jax.device_put(self.opt_state.k, rep),
+            lr_max=jax.device_put(self.opt_state.lr_max, rep),
+            weight_sum=jax.device_put(self.opt_state.weight_sum, rep),
+        )
+        self.sel_buffers = jax.device_put(self.sel_buffers, rep)
+        self.teacher_vars = jax.device_put(
+            self.teacher_vars, meshlib.param_sharding(mesh, self.teacher_vars)
+        )
+
+        self.best_val_acc = 0.0
+        self.metrics_history: dict[str, list] = defaultdict(list)
+        self._rng = jax.random.PRNGKey(config.run.seed)
+
+        self._train_step = self._build_train_step()
+        self._eval_step_cache: dict = {}
+
+    # ------------------------------------------------------------------ steps
+
+    def _build_train_step(self):
+        student = self.student.module
+        teacher_bundle = self.teacher
+        loss_cfg = self.loss_cfg
+        sf_cfg = self.sf_cfg
+        img_size = self.img_size
+        d_stats = self.dataset_stats
+        t_stats = self.teacher_stats
+        num_classes = self.num_classes
+        num_shards = self.mesh.shape["data"]
+        extraction_idx = jnp.asarray(self.token_layers)
+
+        def step(opt_state, teacher_vars, sel_buffers, images_u8, labels, rng):
+            k_view, k_mix, k_drop = jax.random.split(rng, 3)
+            clean, augmented = aug.make_train_views(
+                k_view, images_u8, img_size, d_stats, t_stats
+            )
+            mixed, mixed_targets = aug.mixup_cutmix(
+                k_mix, augmented, labels, num_classes, num_shards=num_shards
+            )
+
+            t_tokens, t_imp = teacher_extract(
+                teacher_bundle, teacher_vars, clean.astype(jnp.bfloat16)
+            )
+
+            y = sf.train_params(opt_state, sf_cfg)
+
+            def loss_fn(trainable):
+                out = student.apply(
+                    {"params": trainable["student"]},
+                    mixed.astype(jnp.bfloat16),
+                    deterministic=False,
+                    rngs={"droppath": k_drop},
+                )
+                s_int = out["tokens"][extraction_idx]  # (P, B, N, D)
+                loss, aux = basd_loss(
+                    trainable["basd"],
+                    sel_buffers,
+                    out["logits"],
+                    mixed_targets,
+                    s_int,
+                    t_tokens,
+                    t_imp,
+                    loss_cfg,
+                )
+                return loss, (aux, out["logits"])
+
+            (loss, (aux, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(y)
+            opt_state = sf.update(opt_state, grads, sf_cfg, y=y)
+
+            valid = labels >= 0
+            n = jnp.sum(valid)
+            correct = jnp.sum(
+                (jnp.argmax(logits, -1) == labels) & valid
+            )
+            metrics = {
+                "loss_sum": loss * n,
+                "correct": correct,
+                "count": n,
+                "ce": aux["ce_loss"],
+                "geo": aux["geo_loss"],
+                "ranks": aux["ranks"],
+                "mix_weights": aux["mix_weights"],
+            }
+            return opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _eval_step(self, valid_indices: tuple | None, label_smoothing: float):
+        key = (valid_indices, label_smoothing)
+        if key in self._eval_step_cache:
+            return self._eval_step_cache[key]
+        student = self.student.module
+        img_size = self.img_size
+        stats = self.dataset_stats
+        idx = None if valid_indices is None else jnp.asarray(valid_indices)
+
+        def step(params, images_u8, labels):
+            x = aug.make_eval_view(images_u8, img_size, stats)
+            out = student.apply(
+                {"params": params}, x.astype(jnp.bfloat16), deterministic=True
+            )
+            logits = out["logits"].astype(jnp.float32)
+            if idx is not None:
+                logits = logits[:, idx]
+            valid = labels >= 0
+            n = jnp.sum(valid)
+            num_c = logits.shape[-1]
+            onehot = jax.nn.one_hot(labels, num_c, dtype=jnp.float32)
+            if label_smoothing:
+                onehot = (
+                    onehot * (1.0 - label_smoothing) + label_smoothing / num_c
+                )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.sum(onehot * logp, axis=-1)
+            top1 = jnp.argmax(logits, -1) == labels
+            k5 = min(5, num_c)
+            _, top5_idx = jax.lax.top_k(logits, k5)
+            top5 = jnp.any(top5_idx == labels[:, None], axis=-1)
+            return {
+                "ce_sum": jnp.sum(jnp.where(valid, ce, 0.0)),
+                "top1": jnp.sum(top1 & valid),
+                "top5": jnp.sum(top5 & valid),
+                "count": n,
+            }
+
+        fn = jax.jit(step)
+        self._eval_step_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------ loops
+
+    def train_epoch(self, source, epoch: int) -> dict[str, float]:
+        cfg = self.config
+        r = round(self.img_size / cfg.data.eval_crop_ratio)
+        batches = source.load_batches(
+            "train",
+            cfg.data.batch_size,
+            r,
+            shuffle=True,
+            seed=cfg.run.seed * 100003 + epoch,
+            drop_last=True,
+        )
+        limit = cfg.data.get("limit_train_batches")
+        total_loss = 0.0
+        correct = 0
+        total = 0
+        for i, batch in enumerate(prefetch(batches)):
+            if limit is not None and i >= limit:
+                break
+            sharded = meshlib.shard_batch(self.mesh, batch)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.opt_state, metrics = self._train_step(
+                self.opt_state,
+                self.teacher_vars,
+                self.sel_buffers,
+                sharded["image"],
+                sharded["label"],
+                step_rng,
+            )
+            n = int(metrics["count"])
+            total_loss += float(metrics["loss_sum"])
+            correct += int(metrics["correct"])
+            total += n
+        return {
+            "train_loss": total_loss / max(total, 1),
+            "train_acc": 100.0 * correct / max(total, 1),
+        }
+
+    def evaluate(
+        self,
+        source,
+        *,
+        split: str = "eval",
+        valid_indices=None,
+        label_smoothing: float | None = None,
+        stats=None,
+    ) -> dict[str, float]:
+        cfg = self.config
+        ls = (
+            cfg.training.label_smoothing if label_smoothing is None else label_smoothing
+        )
+        step = self._eval_step(
+            None if valid_indices is None else tuple(valid_indices), ls
+        )
+        params = sf.eval_params(self.opt_state)["student"]
+        r = round(self.img_size / cfg.data.eval_crop_ratio)
+        ce = top1 = top5 = total = 0.0
+        batches = source.load_batches(
+            split, cfg.data.batch_size, r, shuffle=False,
+            seed=0, drop_last=False,
+        )
+        limit = cfg.data.get("limit_eval_batches")
+        for i, batch in enumerate(prefetch(batches)):
+            if limit is not None and i >= limit:
+                break
+            sharded = meshlib.shard_batch(self.mesh, batch)
+            m = step(params, sharded["image"], sharded["label"])
+            ce += float(m["ce_sum"])
+            top1 += int(m["top1"])
+            top5 += int(m["top5"])
+            total += int(m["count"])
+        total = max(total, 1)
+        return {
+            "val_acc": 100.0 * top1 / total,
+            "val_acc_top5": 100.0 * top5 / total,
+            "loss": ce / total,
+        }
+
+    def train(self, source, start_epoch: int = 0) -> dict[str, list]:
+        cfg = self.config
+        num_epochs = cfg.training.num_epochs
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.perf_counter()
+            train_metrics = self.train_epoch(source, epoch)
+            val_metrics = self.evaluate(source)
+            dt = time.perf_counter() - t0
+            print(
+                f"epoch {epoch + 1}/{num_epochs} "
+                f"train_loss={train_metrics['train_loss']:.6f} "
+                f"train_acc={train_metrics['train_acc']:.4f} "
+                f"val_acc={val_metrics['val_acc']:.4f} "
+                f"epoch_time={dt:.1f}s"
+            )
+            for k, v in {**train_metrics, **val_metrics}.items():
+                self.metrics_history[k].append(v)
+
+            if val_metrics["val_acc"] > self.best_val_acc:
+                self.best_val_acc = val_metrics["val_acc"]
+                self.save_checkpoint("best_model", epoch)
+                self.save_weights("best_model_weights", epoch)
+            self.save_checkpoint("latest", epoch)
+
+        self.save_weights("final_model_weights", num_epochs - 1)
+        print(f"training complete best_val_acc={self.best_val_acc:.4f}")
+        return dict(self.metrics_history)
+
+    # ------------------------------------------------------------- checkpoint
+
+    def _ckpt_dir(self) -> Path:
+        cfg = self.config
+        return Path(cfg.run.output_dir) / cfg.run.name / "checkpoints"
+
+    def save_checkpoint(self, name: str, epoch: int) -> None:
+        state = {
+            "opt": self.opt_state._asdict(),
+            "sel_buffers": self.sel_buffers,
+            "rng": self._rng,
+        }
+        ckpt.save_state(
+            self._ckpt_dir() / name,
+            state,
+            {
+                "epoch": epoch,
+                "best_val_acc": self.best_val_acc,
+                "metrics_history": dict(self.metrics_history),
+            },
+        )
+
+    def save_weights(self, name: str, epoch: int) -> None:
+        params = sf.eval_params(self.opt_state)["student"]
+        ckpt.save_weights(self._ckpt_dir() / name, params, epoch)
+
+    def load_checkpoint(self, path: str) -> int:
+        target = {
+            "opt": self.opt_state._asdict(),
+            "sel_buffers": self.sel_buffers,
+            "rng": self._rng,
+        }
+        state, custom = ckpt.load_state(path, target)
+        self.opt_state = sf.ScheduleFreeState(**state["opt"])
+        self.sel_buffers = state["sel_buffers"]
+        self._rng = state["rng"]
+        self.best_val_acc = custom["best_val_acc"]
+        self.metrics_history = defaultdict(list, custom["metrics_history"])
+        return custom["epoch"] + 1
+
+    @property
+    def eval_student_params(self):
+        return sf.eval_params(self.opt_state)["student"]

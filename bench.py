@@ -1,0 +1,168 @@
+"""Benchmark: BASD distillation throughput, images/sec/chip.
+
+North-star metric (BASELINE.json): DeiT-Tiny <- DeiT-Small BASD
+distillation on ImageNet-100-sized inputs (224 px), beating the PyTorch
+reference's A100 images/sec/chip. Runs the FULL jitted train step on the
+real TPU chip: device-side dual-view augmentation + MixUp, frozen teacher
+forward (12-layer ViT-S, per-layer tokens + importance), student
+forward/backward (DeiT-Tiny, remat), Grassmannian selector (batched
+eigh), attention-weighted Procrustes (Gram nuclear norm +
+Newton-Schulz backward), UW-SO, schedule-free AdamW update.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+``vs_baseline`` divides by an ANALYTIC estimate of the PyTorch reference
+on one A100-80GB (the reference publishes no numbers and cannot run
+here): per image the reference spends ~4.6 GFLOP teacher fwd + ~3.8
+GFLOP student fwd/bwd + full per-layer attention-map recomputation and
+an SVD stack (12 tall SVDs + 48 svdvals + 4B rectangular SVDs per step)
+that cuSOLVER executes at low utilization. At a generous 30-40% end-to-end
+MFU on 312 TFLOPS bf16 — consistent with published torch ViT-S training
+rates of ~1.5-2k img/s/A100 *without* the distillation linalg stack —
+the reference lands at or below ~1200 img/s. We use 1200.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REF_IMG_PER_SEC = 1200.0
+
+BATCH_SIZE = 256
+WARMUP_STEPS = 5
+TIMED_STEPS = 30
+IMG = 224
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from basd_tpu.config import ConfigNode
+    from basd_tpu.models import create_model, init_model
+    from basd_tpu.parallel.mesh import make_mesh, shard_batch
+    from basd_tpu.training.trainer import Trainer
+
+    n_chips = len(jax.devices())
+    print(
+        f"bench: platform={jax.default_backend()} chips={n_chips} "
+        f"batch={BATCH_SIZE} img={IMG}",
+        file=sys.stderr,
+    )
+    mesh = make_mesh(data=-1, model=1)
+
+    cfg = ConfigNode(
+        {
+            "run": {"name": "bench", "output_dir": "/tmp/basd_bench", "seed": 0},
+            "data": {
+                "dataset": "synthetic/imagenet100",
+                "eval_datasets": [],
+                "batch_size": BATCH_SIZE,
+                "eval_crop_ratio": 224 / 256,
+                "source": "synthetic",
+            },
+            "model": {
+                "student_preset": "deit_tiny_patch16_224",
+                "drop_path_rate": 0.1,
+                "num_classes": 100,
+                "arch_overrides": {},
+                "vit": {"img_size": IMG, "patch_size": 16},
+            },
+            "checkpoint": {"resume_from": None, "path": None},
+            "training": {
+                "num_epochs": 1,
+                "learning_rate": 1e-3,
+                "weight_decay": 0.05,
+                "label_smoothing": 0.01,
+            },
+            "basd": {
+                "teacher_model_name": "deit_small_patch16_224",
+                "num_extraction_points": 4,
+                "spectral_backend": "gram",
+            },
+            "tpu": {"mesh": {"data": -1, "model": 1}, "remat": True},
+        }
+    )
+
+    teacher = create_model(
+        "deit_small_patch16_224", img_size=IMG, num_classes=0,
+        importance_mode="cls", dtype=jnp.bfloat16,
+    )
+    t_vars = init_model(teacher, jax.random.PRNGKey(1), IMG)
+    student = create_model(
+        "deit_tiny_patch16_224", img_size=IMG, num_classes=100,
+        drop_path_rate=0.1, remat=True, dtype=jnp.bfloat16,
+    )
+    s_vars = init_model(student, jax.random.PRNGKey(2), IMG, fan_in_init=True)
+
+    stats = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    trainer = Trainer(
+        cfg,
+        student_bundle=student,
+        student_params=s_vars["params"],
+        teacher_bundle=teacher,
+        teacher_vars=t_vars,
+        mesh=mesh,
+        dataset_stats=stats,
+        teacher_stats=stats,
+    )
+
+    rng = np.random.default_rng(0)
+    r = round(IMG / cfg.data.eval_crop_ratio)
+    batch = {
+        "image": rng.integers(0, 256, (BATCH_SIZE, r, r, 3), np.uint8),
+        "label": rng.integers(0, 100, (BATCH_SIZE,)).astype(np.int32),
+    }
+    sharded = shard_batch(mesh, batch)
+
+    key = jax.random.PRNGKey(0)
+    t_compile = time.perf_counter()
+    for i in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        trainer.opt_state, metrics = trainer._train_step(
+            trainer.opt_state, trainer.teacher_vars, trainer.sel_buffers,
+            sharded["image"], sharded["label"], sub,
+        )
+    jax.block_until_ready(metrics["loss_sum"])
+    print(
+        f"bench: warmup+compile {time.perf_counter() - t_compile:.1f}s "
+        f"loss={float(metrics['loss_sum']) / BATCH_SIZE:.4f}",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_STEPS):
+        key, sub = jax.random.split(key)
+        trainer.opt_state, metrics = trainer._train_step(
+            trainer.opt_state, trainer.teacher_vars, trainer.sel_buffers,
+            sharded["image"], sharded["label"], sub,
+        )
+    jax.block_until_ready(metrics["loss_sum"])
+    elapsed = time.perf_counter() - t0
+
+    img_per_sec = BATCH_SIZE * TIMED_STEPS / elapsed
+    per_chip = img_per_sec / n_chips
+    print(
+        f"bench: {TIMED_STEPS} steps in {elapsed:.2f}s "
+        f"({elapsed / TIMED_STEPS * 1000:.1f} ms/step)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "BASD distill throughput DeiT-Tiny<-DeiT-Small 224px",
+                "value": round(per_chip, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(per_chip / A100_REF_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Device-side augmentation vs PIL/torchvision-semantics oracles."""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.data import augment as A
+
+RNG = np.random.default_rng(5)
+
+
+def _img(h=32, w=32):
+    return RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _pil(arr):
+    return Image.fromarray(arr)
+
+
+# --------------------------------------------------------- photometric ops
+
+
+def test_posterize_matches_pil():
+    img = _img()
+    for bits in (2, 4, 7, 8):
+        ours = np.asarray(A._posterize(jnp.asarray(img, jnp.float32), bits))
+        ref = np.asarray(ImageOps.posterize(_pil(img), bits))
+        np.testing.assert_array_equal(ours.astype(np.uint8), ref)
+
+
+def test_solarize_matches_pil():
+    img = _img()
+    for thr in (0, 64, 128, 255):
+        ours = np.asarray(A._solarize(jnp.asarray(img, jnp.float32), float(thr)))
+        ref = np.asarray(ImageOps.solarize(_pil(img), thr))
+        np.testing.assert_array_equal(ours.astype(np.uint8), ref)
+
+
+def test_autocontrast_matches_pil():
+    img = _img()
+    # compress the range so autocontrast actually stretches
+    img = (img // 2 + 60).astype(np.uint8)
+    ours = np.asarray(A._autocontrast(jnp.asarray(img, jnp.float32), 0.0))
+    ref = np.asarray(ImageOps.autocontrast(_pil(img)))
+    assert np.abs(ours - ref.astype(np.float32)).max() <= 1.0
+
+
+def test_equalize_matches_pil():
+    img = _img(24, 24)
+    ours = np.asarray(A._equalize(jnp.asarray(img, jnp.float32), 0.0))
+    ref = np.asarray(ImageOps.equalize(_pil(img)))
+    np.testing.assert_array_equal(ours.astype(np.uint8), ref)
+
+
+def test_brightness_matches_pil():
+    img = _img()
+    for f in (0.2, 0.9, 1.5):
+        ours = np.asarray(A._brightness(jnp.asarray(img, jnp.float32), f))
+        ref = np.asarray(ImageEnhance.Brightness(_pil(img)).enhance(f))
+        assert np.abs(ours - ref.astype(np.float32)).max() <= 1.0
+
+
+def test_color_matches_pil():
+    img = _img()
+    for f in (0.3, 1.7):
+        ours = np.asarray(A._color(jnp.asarray(img, jnp.float32), f))
+        ref = np.asarray(ImageEnhance.Color(_pil(img)).enhance(f))
+        assert np.abs(ours - ref.astype(np.float32)).max() <= 2.0
+
+
+def test_contrast_matches_pil():
+    img = _img()
+    for f in (0.3, 1.7):
+        ours = np.asarray(A._contrast(jnp.asarray(img, jnp.float32), f))
+        ref = np.asarray(ImageEnhance.Contrast(_pil(img)).enhance(f))
+        assert np.abs(ours - ref.astype(np.float32)).max() <= 2.0
+
+
+def test_sharpness_matches_pil():
+    img = _img()
+    for f in (0.2, 2.0):
+        ours = np.asarray(A._sharpness(jnp.asarray(img, jnp.float32), f))
+        ref = np.asarray(ImageEnhance.Sharpness(_pil(img)).enhance(f))
+        assert np.abs(ours - ref.astype(np.float32)).max() <= 2.0
+
+
+# ---------------------------------------------------------- geometric ops
+
+
+def test_rotate_90_matches_rot90():
+    img = _img(16, 16).astype(np.float32)
+    ours = np.asarray(A._rotate(jnp.asarray(img), 90.0))
+    ref = np.rot90(img, 1, axes=(0, 1))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_translate_shifts_pixels():
+    img = _img(16, 16).astype(np.float32)
+    ours = np.asarray(A._translate_x(jnp.asarray(img), 5.0))
+    # shift right by 5, zero-fill on the left
+    np.testing.assert_array_equal(ours[:, 5:], img[:, :-5])
+    np.testing.assert_array_equal(ours[:, :5], 0.0)
+    ours_y = np.asarray(A._translate_y(jnp.asarray(img), -3.0))
+    np.testing.assert_array_equal(ours_y[:-3], img[3:])
+
+
+def test_shear_preserves_center_row():
+    img = _img(17, 17).astype(np.float32)
+    ours = np.asarray(A._shear_x(jnp.asarray(img), 0.5))
+    # the center row is on the shear axis and should be unchanged
+    np.testing.assert_array_equal(ours[8], img[8])
+
+
+def test_trivial_augment_deterministic_per_key():
+    img = jnp.asarray(_img(16, 16), jnp.float32)
+    a = np.asarray(A.trivial_augment_wide(jax.random.PRNGKey(0), img))
+    b = np.asarray(A.trivial_augment_wide(jax.random.PRNGKey(0), img))
+    np.testing.assert_array_equal(a, b)
+    vals = set()
+    for s in range(12):
+        out = np.asarray(A.trivial_augment_wide(jax.random.PRNGKey(s), img))
+        assert out.shape == img.shape
+        assert out.min() >= 0 and out.max() <= 255
+        vals.add(float(out.sum()))
+    assert len(vals) > 3  # different ops fired across seeds
+
+
+# ------------------------------------------------------------------- RRC
+
+
+def test_random_resized_crop_shape_and_range():
+    img = jnp.asarray(_img(40, 40), jnp.float32)
+    out = A.random_resized_crop(jax.random.PRNGKey(0), img, 32)
+    assert out.shape == (32, 32, 3)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 256.0
+    outs = [
+        float(A.random_resized_crop(jax.random.PRNGKey(s), img, 32).sum())
+        for s in range(8)
+    ]
+    assert len(set(outs)) > 4  # boxes vary
+
+
+def test_rrc_full_scale_is_near_identity():
+    img = jnp.asarray(_img(32, 32), jnp.float32)
+    # scale=(1,1), ratio=(1,1) forces the full-image crop
+    top, left, ch, cw = A._rrc_params(
+        jax.random.PRNGKey(0), 32, 32, scale=(1.0, 1.0), ratio=(1.0, 1.0)
+    )
+    assert (float(top), float(left), float(ch), float(cw)) == (0.0, 0.0, 32.0, 32.0)
+
+
+# ------------------------------------------------------------ mix + views
+
+
+def test_mixup_cutmix_targets_consistent():
+    imgs = jnp.asarray(RNG.standard_normal((8, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(RNG.integers(0, 10, 8))
+    onehot = np.eye(10, dtype=np.float32)[np.asarray(labels)]
+    rolled = np.roll(onehot, 1, axis=0)
+    for seed in range(6):
+        mixed, targets = A.mixup_cutmix(jax.random.PRNGKey(seed), imgs, labels, 10)
+        t = np.asarray(targets)
+        np.testing.assert_allclose(t.sum(-1), 1.0, rtol=1e-5)
+        # targets must be lam * onehot + (1 - lam) * rolled for a single lam
+        lam_grid = t[onehot.astype(bool) & ~rolled.astype(bool)]
+        if lam_grid.size:
+            assert np.allclose(lam_grid, lam_grid.flat[0], atol=1e-5)
+
+
+def test_make_train_views_shapes_and_clean_parity():
+    b, r, s = 4, 40, 32
+    u8 = RNG.integers(0, 256, (b, r, r, 3), dtype=np.uint8)
+    t_stats = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    d_stats = ((0.4, 0.4, 0.4), (0.3, 0.3, 0.3))
+    clean, aug = A.make_train_views(
+        jax.random.PRNGKey(0), jnp.asarray(u8), s, d_stats, t_stats
+    )
+    assert clean.shape == (b, s, s, 3)
+    assert aug.shape == (b, s, s, 3)
+    # clean view == center crop + normalize, bit-exact
+    off = (r - s) // 2
+    ref = (u8[:, off : off + s, off : off + s].astype(np.float32) / 255.0 - 0.5) / 0.25
+    np.testing.assert_allclose(np.asarray(clean), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_make_eval_view():
+    u8 = RNG.integers(0, 256, (2, 40, 40, 3), dtype=np.uint8)
+    out = A.make_eval_view(jnp.asarray(u8), 32, ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+    assert out.shape == (2, 32, 32, 3)
+    assert float(out.max()) <= 1.0
