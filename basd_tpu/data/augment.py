@@ -253,6 +253,162 @@ def trivial_augment_wide(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(out, 0.0, 255.0))
 
 
+# -- batched TAW (TPU fast path) ------------------------------------------
+
+# op ids: 0 Identity, 1 ShearX, 2 ShearY, 3 TransX, 4 TransY, 5 Rotate,
+# 6 Brightness, 7 Color, 8 Contrast, 9 Sharpness, 10 Posterize,
+# 11 Solarize, 12 AutoContrast, 13 Equalize
+
+
+def _batch_affine_params(op, mag, dtype=jnp.float32):
+    """Per-image inverse-map affine (a, b, c, d, tx, ty) for the five
+    geometric ops; identity for everything else."""
+    rad = mag * (jnp.pi / 180.0)
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    one = jnp.ones_like(mag)
+    zero = jnp.zeros_like(mag)
+    is_sx = op == 1
+    is_sy = op == 2
+    is_tx = op == 3
+    is_ty = op == 4
+    is_rot = op == 5
+    a = jnp.where(is_rot, cos, one)
+    b = jnp.where(is_rot, -sin, jnp.where(is_sx, -mag, zero))
+    c = jnp.where(is_rot, sin, jnp.where(is_sy, -mag, zero))
+    d = jnp.where(is_rot, cos, one)
+    tx = jnp.where(is_tx, mag, zero)
+    ty = jnp.where(is_ty, mag, zero)
+    return a, b, c, d, tx, ty
+
+
+def _batch_equalize(imgs: jnp.ndarray) -> jnp.ndarray:
+    """Per-image-per-channel histogram equalize for a whole (B, H, W, C)
+    batch with ONE scatter-add into (B*C*256) bins."""
+    b, h, w, c = imgs.shape
+    q = jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.int32)
+    chan_base = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, c), 0) * (c * 256)
+        + jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, c), 3) * 256
+    )
+    flat_idx = (q + chan_base).reshape(-1)
+    hist = jnp.zeros((b * c * 256,), jnp.int32).at[flat_idx].add(1)
+    hist = hist.reshape(b, c, 256)
+    nonzero = hist > 0
+    idx = jnp.arange(256)
+    last_nz = jnp.max(jnp.where(nonzero, idx, -1), axis=-1)  # (B, C)
+    last_count = jnp.take_along_axis(hist, last_nz[..., None], axis=-1)[..., 0]
+    step = (jnp.sum(hist, -1) - last_count) // 255  # (B, C)
+    cum = jnp.cumsum(hist, axis=-1)
+    lut = (cum + (step // 2)[..., None]) // jnp.maximum(step, 1)[..., None]
+    lut = jnp.clip(
+        jnp.concatenate([jnp.zeros_like(lut[..., :1]), lut[..., :-1]], -1),
+        0,
+        255,
+    ).astype(jnp.float32)
+    # gather back: lut (B, C, 256) indexed by q (B, H, W, C)
+    eq = jnp.squeeze(
+        jnp.take_along_axis(
+            jnp.broadcast_to(lut[:, None, None, :, :], (b, h, w, c, 256)),
+            q[..., None],
+            axis=-1,
+        ),
+        -1,
+    )
+    no_eq = step == 0  # (B, C)
+    return jnp.where(no_eq[:, None, None, :], imgs, eq)
+
+
+def trivial_augment_wide_batch(key: jax.Array, imgs: jnp.ndarray) -> jnp.ndarray:
+    """Batched TrivialAugmentWide: same per-image semantics as
+    ``trivial_augment_wide`` but computed batch-at-once — one affine-warp
+    pass covers all geometric ops (per-image matrices), one depthwise conv
+    covers sharpness, one scatter covers equalize; the cheap photometric
+    ops are elementwise. Avoids vmap-of-switch evaluating 14 branches of
+    gather-heavy ops per image."""
+    b = imgs.shape[0]
+    k_op, k_mag, k_sign = jax.random.split(key, 3)
+    imgs = jnp.round(jnp.clip(imgs, 0.0, 255.0))
+    op = jax.random.randint(k_op, (b,), 0, _NUM_OPS)
+    mag_idx = jax.random.randint(k_mag, (b,), 0, _NUM_BINS)
+    mag = _TAW_MAGS[op, mag_idx]
+    sign = jnp.where(
+        (_TAW_SIGNED[op] > 0) & jax.random.bernoulli(k_sign, 0.5, (b,)),
+        -1.0,
+        1.0,
+    )
+    mag = mag * sign
+
+    def sel(cond, val, base):
+        return jnp.where(cond[:, None, None, None], val, base)
+
+    # --- geometric: single warp pass -------------------------------------
+    affine = _batch_affine_params(op, mag)
+
+    def warp_one(img, a, bb, c, d, tx, ty):
+        return _centered_affine(img, a, bb, c, d, tx, ty)
+
+    geom = op <= 5
+    any_shape = jax.vmap(warp_one)(imgs, *affine)
+    out = sel((op >= 1) & geom, any_shape, imgs)
+
+    # --- photometric ------------------------------------------------------
+    f = 1.0 + mag  # enhance factor for ops 6-9
+    fb = f[:, None, None, None]
+    gray = _gray(imgs)[..., None]  # (B, H, W, 1)
+
+    out = sel(op == 6, jnp.clip(imgs * fb, 0, 255), out)
+    color = jnp.clip(gray + fb * (imgs - gray), 0, 255)
+    out = sel(op == 7, color, out)
+    mean_gray = jnp.mean(jnp.round(gray[..., 0]), axis=(1, 2))[:, None, None, None]
+    contrast = jnp.clip(mean_gray + fb * (imgs - mean_gray), 0, 255)
+    out = sel(op == 8, contrast, out)
+
+    # sharpness: one depthwise conv over the whole batch
+    kernel = jnp.asarray(
+        [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]], jnp.float32
+    ) / 13.0
+    c = imgs.shape[-1]
+    blurred = jax.lax.conv_general_dilated(
+        imgs,
+        jnp.broadcast_to(kernel[..., None, None], (3, 3, 1, c)),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    blurred = jnp.clip(jnp.round(blurred), 0, 255)
+    h, w = imgs.shape[1], imgs.shape[2]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = ((yy == 0) | (yy == h - 1) | (xx == 0) | (xx == w - 1))[None, ..., None]
+    blurred = jnp.where(border, imgs, blurred)
+    sharp = jnp.clip(blurred + fb * (imgs - blurred), 0, 255)
+    out = sel(op == 9, sharp, out)
+
+    # posterize
+    shift = (8.0 - mag).astype(jnp.int32)[:, None, None, None]
+    qi = imgs.astype(jnp.int32)
+    poster = jnp.left_shift(jnp.right_shift(qi, shift), shift).astype(jnp.float32)
+    out = sel(op == 10, poster, out)
+
+    # solarize
+    solar = jnp.where(imgs >= mag[:, None, None, None], 255.0 - imgs, imgs)
+    out = sel(op == 11, solar, out)
+
+    # autocontrast
+    lo = jnp.min(imgs, axis=(1, 2), keepdims=True)
+    hi = jnp.max(imgs, axis=(1, 2), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
+    auto = jnp.where(hi > lo, jnp.clip((imgs - lo) * scale, 0, 255), imgs)
+    out = sel(op == 12, auto, out)
+
+    # equalize (single scatter pass)
+    eq = _batch_equalize(imgs)
+    out = sel(op == 13, eq, out)
+
+    return jnp.round(jnp.clip(out, 0.0, 255.0))
+
+
 # -- RandomResizedCrop -----------------------------------------------------
 
 
@@ -418,18 +574,18 @@ def make_train_views(
     t_mean, t_std = teacher_stats
     clean = normalize(clean, t_mean, t_std)
 
-    keys = jax.random.split(key, (b, 3))
+    keys = jax.random.split(key, (b, 2))
 
     def one(img, ks):
         crop = random_resized_crop(ks[0], img, out_size)
         flip = jax.random.bernoulli(ks[1], 0.5)
-        crop = jnp.where(flip, crop[:, ::-1, :], crop)
-        return trivial_augment_wide(ks[2], crop)
+        return jnp.where(flip, crop[:, ::-1, :], crop)
 
-    aug = jax.vmap(one)(imgs, keys)
+    cropped = jax.vmap(one)(imgs, keys)
+    augd = trivial_augment_wide_batch(jax.random.fold_in(key, 7), cropped)
     d_mean, d_std = train_stats
-    aug = normalize(aug / 255.0, d_mean, d_std)
-    return clean, aug
+    augd = normalize(augd / 255.0, d_mean, d_std)
+    return clean, augd
 
 
 @partial(jax.jit, static_argnames=("out_size", "stats"))

@@ -73,6 +73,59 @@ def singular_values(m: jnp.ndarray, backend: str = "gram") -> jnp.ndarray:
     raise ValueError(f"unknown backend {backend!r}")
 
 
+# -- degeneracy-safe symmetric eigendecomposition -------------------------
+
+_EIGH_GRAD_CLAMP = 1e-6
+
+
+@jax.custom_vjp
+def safe_eigh(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched symmetric eigh (ascending) whose backward clamps the
+    1/(lambda_j - lambda_i) factors.
+
+    The textbook eigh/SVD backward is undefined at repeated eigenvalues;
+    with bf16-quantized activations feeding the Gram matrices, exact ties
+    occur in practice and poison training with NaNs (observed on TPU).
+    Clamping the eigenvalue gaps yields the standard "safe" subgradient:
+    exact wherever the decomposition is differentiable, bounded at the
+    degeneracies (where any basis of the eigenspace is equally valid, so
+    the loss is insensitive to the unresolved rotation).
+    """
+    return jnp.linalg.eigh(a)
+
+
+def _safe_eigh_fwd(a):
+    w, v = jnp.linalg.eigh(a)
+    return (w, v), (w, v)
+
+
+def _safe_eigh_bwd(res, cotangents):
+    w, v = res
+    dw, dv = cotangents
+    # F_ij = 1 / (w_j - w_i), clamped near degeneracies, zero diagonal
+    diffs = w[..., None, :] - w[..., :, None]
+    sign = jnp.where(diffs >= 0, 1.0, -1.0)
+    denom = sign * jnp.maximum(jnp.abs(diffs), _EIGH_GRAD_CLAMP)
+    f = 1.0 / denom
+    eye = jnp.eye(w.shape[-1], dtype=w.dtype)
+    f = f * (1.0 - eye)
+    vt_dv = jnp.einsum("...ki,...kj->...ij", v, dv, precision=HI)
+    inner = f * vt_dv + eye * dw[..., None, :]
+    da = jnp.einsum(
+        "...ik,...kl,...jl->...ij", v, inner, v, precision=HI
+    )
+    # symmetrize: the primal is only defined on symmetric inputs
+    return ((da + jnp.swapaxes(da, -1, -2)) / 2.0,)
+
+
+safe_eigh.defvjp(_safe_eigh_fwd, _safe_eigh_bwd)
+
+
+def safe_eigh_desc(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    vals, vecs = safe_eigh(a)
+    return vals[..., ::-1], vecs[..., ::-1]
+
+
 def right_singular_vectors(
     x: jnp.ndarray, backend: str = "gram"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -90,7 +143,7 @@ def right_singular_vectors(
         _, s, vt = jnp.linalg.svd(x, full_matrices=False)
         return s, jnp.swapaxes(vt, -1, -2)
     gram = jnp.einsum("...ji,...jk->...ik", x, x, precision=HI)
-    vals, vecs = sym_eigh_desc(gram)
+    vals, vecs = safe_eigh_desc(gram)
     return _safe_sqrt(vals), vecs
 
 

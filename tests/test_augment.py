@@ -191,3 +191,51 @@ def test_make_eval_view():
     out = A.make_eval_view(jnp.asarray(u8), 32, ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
     assert out.shape == (2, 32, 32, 3)
     assert float(out.max()) <= 1.0
+
+
+def test_batched_taw_matches_per_image_semantics():
+    """The batched TAW path must produce each op's exact output; compare
+    every op branch against the per-image implementation by forcing the
+    op/magnitude draws."""
+    import jax
+
+    from basd_tpu.data.augment import (
+        _NUM_OPS,
+        _TAW_MAGS,
+        _TAW_SIGNED,
+        _TAW_FNS,
+        trivial_augment_wide_batch,
+    )
+
+    b = 28  # 2 draws per op, most ops covered
+    imgs = jnp.asarray(
+        RNG.integers(0, 256, (b, 24, 24, 3), dtype=np.uint8), jnp.float32
+    )
+    key = jax.random.PRNGKey(3)
+    out_batch = np.asarray(trivial_augment_wide_batch(key, imgs))
+
+    # reproduce the batch's own draws, then apply the per-image fns
+    k_op, k_mag, k_sign = jax.random.split(key, 3)
+    op = np.asarray(jax.random.randint(k_op, (b,), 0, _NUM_OPS))
+    mag_idx = np.asarray(jax.random.randint(k_mag, (b,), 0, _NUM_BINS := 31))
+    mag = np.asarray(_TAW_MAGS)[op, mag_idx]
+    sign = np.where(
+        (np.asarray(_TAW_SIGNED)[op] > 0)
+        & np.asarray(jax.random.bernoulli(k_sign, 0.5, (b,))),
+        -1.0,
+        1.0,
+    )
+    mag = mag * sign
+    for i in range(b):
+        ref = np.asarray(
+            jnp.round(
+                jnp.clip(
+                    _TAW_FNS[int(op[i])](jnp.round(imgs[i]), float(mag[i])),
+                    0,
+                    255,
+                )
+            )
+        )
+        np.testing.assert_array_equal(
+            out_batch[i], ref, err_msg=f"op={op[i]} mag={mag[i]}"
+        )

@@ -259,3 +259,48 @@ def test_orthogonal_matrix_shapes():
     )
     wide = orthogonal_matrix(k, 16, 32)
     np.testing.assert_allclose(np.asarray(wide @ wide.T), np.eye(16), atol=1e-5)
+
+
+# ------------------------------------------------------- degeneracy safety
+
+
+def test_safe_eigh_gradients_finite_under_degeneracy():
+    """bf16-quantized activations produce exactly repeated eigenvalues in
+    the Gram matrices; the textbook eigh backward returns NaN there
+    (observed as NaN losses on TPU). safe_eigh must stay finite."""
+    from basd_tpu.ops.linalg import safe_eigh
+
+    # rank-1 gram: eigenvalue 0 repeated (d-1) times
+    v = np.ones((6, 1), np.float32)
+    a = jnp.asarray(v @ v.T)
+
+    def f(a):
+        w, vecs = safe_eigh(a)
+        return jnp.sum(w * jnp.arange(6.0)) + jnp.sum(vecs * 0.1)
+
+    g = jax.grad(f)(a)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_selector_grads_finite_with_duplicate_tokens():
+    """Duplicate token rows (common after bf16 rounding at init) must not
+    produce NaN gradients through the subspace extraction."""
+    from basd_tpu.ops.grassmann import (
+        grassmann_subspace,
+        rank_mask,
+        spectral_grassmann_distance_sq,
+    )
+
+    base = RNG.standard_normal((4, 16)).astype(np.float32)
+    z_s = np.repeat(base, 25, axis=0)  # massively degenerate
+    z_t = _lowrank(100, 16, 5)
+    basis_t, svals_t = grassmann_subspace(jnp.asarray(z_t))
+    mask = rank_mask(jnp.asarray(5), 16)
+
+    def f(z):
+        basis_s, _ = grassmann_subspace(z)
+        return spectral_grassmann_distance_sq(basis_s, basis_t, svals_t, mask)
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(z_s))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
