@@ -204,6 +204,36 @@ def nuclear_norm_ref(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.linalg.svd(m, compute_uv=False), axis=-1)
 
 
+@jax.custom_vjp
+def nuclear_norm_ns(m: jnp.ndarray) -> jnp.ndarray:
+    """Nuclear norm via the polar factor alone: ``||M||_* = tr(P^T M)``
+    with ``P = polar(M)`` from Newton-Schulz — pure batched MXU matmuls,
+    no eigendecomposition anywhere.
+
+    The maximizer characterization ``||M||_* = max_{||Q||_2<=1} tr(Q^T M)``
+    is attained at Q = P and is FIRST-ORDER INSENSITIVE to errors in P, so
+    a moderately-converged polar gives a second-order-accurate value. One
+    NS iteration is shared between forward and backward (grad = P).
+    """
+    p = newton_schulz_polar(m)
+    return jnp.einsum("...ij,...ij->...", p.astype(jnp.float32),
+                      m.astype(jnp.float32), precision=HI)
+
+
+def _nuclear_ns_fwd(m):
+    p = newton_schulz_polar(m)
+    val = jnp.einsum("...ij,...ij->...", p.astype(jnp.float32),
+                     m.astype(jnp.float32), precision=HI)
+    return val, p
+
+
+def _nuclear_ns_bwd(p, g):
+    return (g[..., None, None] * p,)
+
+
+nuclear_norm_ns.defvjp(_nuclear_ns_fwd, _nuclear_ns_bwd)
+
+
 def orthogonal_matrix(key: jax.Array, rows: int, cols: int, dtype=jnp.float32):
     """Random orthogonal (rows, cols) matrix with orthonormal rows (rows <=
     cols) or columns (rows >= cols), matching the semantics of

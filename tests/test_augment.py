@@ -239,3 +239,56 @@ def test_batched_taw_matches_per_image_semantics():
         np.testing.assert_array_equal(
             out_batch[i], ref, err_msg=f"op={op[i]} mag={mag[i]}"
         )
+
+
+def test_stratified_taw_per_image_semantics():
+    """Each stratified-TAW output must exactly equal the assigned op
+    applied at the drawn magnitude (the draws are returned for test)."""
+    from basd_tpu.data.augment import (
+        _TAW_FNS,
+        trivial_augment_wide_stratified,
+    )
+
+    b = 30
+    imgs = jnp.asarray(
+        RNG.integers(0, 256, (b, 20, 20, 3), dtype=np.uint8), jnp.float32
+    )
+    out, ops, mags = trivial_augment_wide_stratified(
+        jax.random.PRNGKey(9), imgs, return_draws=True
+    )
+    out = np.asarray(out)
+    ops = np.asarray(ops)
+    mags = np.asarray(mags)
+    assert sorted(np.bincount(ops, minlength=14).tolist())[-1] <= 4  # stratified
+    for i in range(b):
+        ref = np.asarray(
+            jnp.round(
+                jnp.clip(
+                    _TAW_FNS[int(ops[i])](jnp.round(imgs[i]), float(mags[i])),
+                    0,
+                    255,
+                )
+            )
+        )
+        np.testing.assert_array_equal(
+            out[i], ref, err_msg=f"i={i} op={ops[i]} mag={mags[i]}"
+        )
+
+
+def test_stratified_taw_marginal_uniformity():
+    """Across keys, each image position receives every op with roughly
+    uniform frequency (the permutation guarantees the marginal)."""
+    from basd_tpu.data.augment import trivial_augment_wide_stratified
+
+    imgs = jnp.asarray(RNG.integers(0, 256, (14, 8, 8, 3)), jnp.float32)
+    counts = np.zeros((14, 14), np.int64)
+    for s in range(60):
+        _, ops, _ = trivial_augment_wide_stratified(
+            jax.random.PRNGKey(s), imgs, return_draws=True
+        )
+        ops = np.asarray(ops)
+        for i in range(14):
+            counts[i, ops[i]] += 1
+    # each image saw at least 2 distinct ops and no op dominates
+    assert (counts.max(axis=1) < 30).all()
+    assert ((counts > 0).sum(axis=1) >= 5).all()
