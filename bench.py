@@ -33,7 +33,7 @@ import numpy as np
 
 A100_REF_IMG_PER_SEC = 1200.0
 
-BATCH_SIZE = 256
+BATCH_SIZE = 512
 WARMUP_STEPS = 5
 TIMED_STEPS = 30
 IMG = 224

@@ -163,16 +163,20 @@ def test_nuclear_norm_forward():
 
 
 def test_newton_schulz_polar_is_orthogonal():
-    m = RNG.standard_normal((24, 48)).astype(np.float32)
+    m = np.random.default_rng(42).standard_normal((24, 48)).astype(np.float32)
     p = np.asarray(newton_schulz_polar(jnp.asarray(m)))
-    np.testing.assert_allclose(p @ p.T, np.eye(24), atol=5e-3)
+    # bf16 inner iteration: ~1e-2 orthogonality
+    np.testing.assert_allclose(p @ p.T, np.eye(24), atol=3e-2)
+    p32 = np.asarray(newton_schulz_polar(jnp.asarray(m), inner_dtype=jnp.float32))
+    np.testing.assert_allclose(p32 @ p32.T, np.eye(24), atol=5e-3)
 
 
 def test_nuclear_norm_gradient_is_polar():
-    m = RNG.standard_normal((16, 20)).astype(np.float32)
+    m = np.random.default_rng(43).standard_normal((16, 20)).astype(np.float32)
     g = np.asarray(jax.grad(lambda x: jnp.sum(nuclear_norm(x)))(jnp.asarray(m)))
     u, _, vt = np.linalg.svd(m, full_matrices=False)
-    np.testing.assert_allclose(g, u @ vt, atol=5e-3)
+    # bf16 NS polar: ~1-2e-2 per-element gradient accuracy
+    np.testing.assert_allclose(g, u @ vt, atol=3e-2)
 
 
 # --------------------------------------------------------------- procrustes
