@@ -103,7 +103,14 @@ def measure_efficiency(
     batch_size: int = 64,
     num_warmup: int = 50,
     num_batches: int = 200,
+    profile_dir: str | None = None,
 ) -> dict[str, float]:
+    """Param count, GFLOPs (XLA cost analysis), steady-state throughput.
+
+    ``profile_dir``: if set, capture a ``jax.profiler`` device trace of the
+    timed loop (viewable in TensorBoard/Perfetto) — the profiling hook the
+    reference lacks (SURVEY.md §5 'tracing/profiling').
+    """
     param_count = sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
     )
@@ -122,11 +129,17 @@ def measure_efficiency(
     for _ in range(num_warmup):
         out = fwd(params, xb)
     jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(num_batches):
-        out = fwd(params, xb)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    import contextlib
+
+    trace_cm = (
+        jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    )
+    with trace_cm:
+        start = time.perf_counter()
+        for _ in range(num_batches):
+            out = fwd(params, xb)
+        jax.block_until_ready(out)
+        elapsed = time.perf_counter() - start
     return {
         "param_count": param_count,
         "param_count_m": param_count / 1e6,

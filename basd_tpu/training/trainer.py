@@ -32,6 +32,7 @@ from basd_tpu.models.registry import ModelBundle, teacher_extract
 from basd_tpu.parallel import mesh as meshlib
 from basd_tpu.training import schedulefree as sf
 from basd_tpu.utils import checkpoint as ckpt
+from basd_tpu.utils.logging import MetricsLogger
 
 
 class Trainer:
@@ -102,6 +103,9 @@ class Trainer:
         self.best_val_acc = 0.0
         self.metrics_history: dict[str, list] = defaultdict(list)
         self._rng = jax.random.PRNGKey(config.run.seed)
+        self._mlog = MetricsLogger(
+            Path(config.run.output_dir) / config.run.name / "metrics.jsonl"
+        )
 
         self._train_step = self._build_train_step()
         self._eval_step_cache: dict = {}
@@ -316,6 +320,10 @@ class Trainer:
             )
             for k, v in {**train_metrics, **val_metrics}.items():
                 self.metrics_history[k].append(v)
+            self._mlog.log(
+                "epoch", epoch=epoch + 1, epoch_time_s=round(dt, 2),
+                **train_metrics, **val_metrics,
+            )
 
             if val_metrics["val_acc"] > self.best_val_acc:
                 self.best_val_acc = val_metrics["val_acc"]

@@ -1,0 +1,63 @@
+"""Pallas Jacobi eigensolver tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from basd_tpu.ops.pallas.jacobi_eigh import _round_robin_schedule, jacobi_eigh
+
+RNG = np.random.default_rng(17)
+
+
+def _sym(b, n):
+    x = RNG.standard_normal((b, n, n)).astype(np.float32)
+    return (x + x.transpose(0, 2, 1)) / 2
+
+
+def test_round_robin_covers_all_pairs():
+    for n in (4, 8, 16):
+        tops, bots = _round_robin_schedule(n)
+        seen = set()
+        for r in range(n - 1):
+            for t, b in zip(tops[r], bots[r]):
+                seen.add((min(t, b), max(t, b)))
+        assert len(seen) == n * (n - 1) // 2
+
+
+@pytest.mark.parametrize("n", [8, 16, 32])
+def test_matches_numpy_eigh(n):
+    a = _sym(3, n)
+    w, v = jacobi_eigh(jnp.asarray(a), sweeps=12, tile_b=2, interpret=True)
+    w_ref, v_ref = np.linalg.eigh(a)
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-4, atol=1e-4)
+    dots = np.abs(np.einsum("bij,bij->bj", np.asarray(v), v_ref))
+    assert dots.min() > 0.999
+
+
+def test_reconstruction_and_orthogonality():
+    a = _sym(2, 16)
+    w, v = jacobi_eigh(jnp.asarray(a), sweeps=12, tile_b=2, interpret=True)
+    v = np.asarray(v)
+    w = np.asarray(w)
+    rec = np.einsum("bik,bk,bjk->bij", v, w, v)
+    np.testing.assert_allclose(rec, a, atol=1e-4)
+    vtv = np.einsum("bki,bkj->bij", v, v)
+    np.testing.assert_allclose(vtv, np.broadcast_to(np.eye(16), (2, 16, 16)), atol=1e-4)
+
+
+def test_low_rank_degenerate_spectrum():
+    # rank-2 PSD: eigenvalue 0 with multiplicity n-2
+    u = RNG.standard_normal((2, 16, 2)).astype(np.float32)
+    a = np.einsum("bik,bjk->bij", u, u)
+    w, v = jacobi_eigh(jnp.asarray(a), sweeps=12, tile_b=2, interpret=True)
+    w_ref = np.linalg.eigvalsh(a)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-4)
+
+
+def test_batch_padding():
+    a = _sym(5, 8)  # 5 not divisible by tile_b=4
+    w, v = jacobi_eigh(jnp.asarray(a), sweeps=12, tile_b=4, interpret=True)
+    assert w.shape == (5, 8)
+    w_ref = np.linalg.eigvalsh(a)
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-4, atol=1e-4)
