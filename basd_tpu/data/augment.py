@@ -254,6 +254,124 @@ def trivial_augment_wide(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(out, 0.0, 255.0))
 
 
+# -- shift-based geometric ops (TPU fast path) -----------------------------
+#
+# The per-pixel inverse-map gather cost ~170 ms/step at B=512/224px
+# (traced: one 9.1M-element XLA gather). All five TAW geometric ops are
+# instead expressed as per-LINE integer shifts — contiguous row slices,
+# not scalar gathers:
+#   shear_x / translate_x: one row-shift pass (EXACT vs the per-pixel
+#     map: round(x + c) == x + round(c) for integer x);
+#   shear_y / translate_y: one column-shift pass (transpose + row pass);
+#   rotate(theta): the classic 3-shear decomposition
+#     R(-t) = Sx(-tan(t/2)) Sy(sin t) Sx(-tan(t/2)), with a 180-degree
+#     pre-flip for |theta| > 90 so shear factors stay <= 1. Each pass
+#     rounds independently (<= 1px deviation from the exact map).
+
+
+_SHIFT_MARGIN = 128  # covers max |shift|: shear 0.99*(W/2)=111, rot <=112
+
+
+def _barrel_shift(x: jnp.ndarray, s: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """out[..., j, ...] = x[..., j + s, ...] along ``axis`` (no wrap for
+    j + s < size), where ``s`` >= 0 varies over the OTHER spatial axis.
+
+    Logarithmic barrel shifter: log2 passes of static roll + select —
+    full-tensor vector ops (per-pixel gathers measured 170 ms/step and
+    per-row dynamic slices ~1 s/step for this workload on v5e; this
+    cascade is bandwidth-bound at ~10 passes over the tensor).
+    """
+    size = x.shape[axis]
+    bits = max(1, int(size - 1).bit_length())
+    sel_shape = list(x.shape)
+    sel_shape[axis] = 1
+    cur = x
+    for k in range(bits):
+        step = 1 << k
+        rolled = jnp.roll(cur, -step, axis=axis)
+        take = ((s >> k) & 1).astype(bool)
+        take = take.reshape(sel_shape)
+        cur = jnp.where(take, rolled, cur)
+    return cur
+
+
+def _shift_rows(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """out[g, y, x] = x_in[g, y, x - r[g, y]] with zero fill.
+
+    x: (G, H, W, C); r: (G, H) int32. Channels fold into batch so the
+    shifted axis is minor (a trailing C=3 axis would be tile-padded to
+    128 lanes — 42x memory blowup, observed as an OOM)."""
+    g, h, w, c = x.shape
+    k = _SHIFT_MARGIN
+    xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w)
+    padded = jnp.pad(xc, ((0, 0), (0, 0), (k, k)))
+    s = jnp.clip(k - r, 0, 2 * k)
+    s = jnp.broadcast_to(s[:, None, :], (g, c, h)).reshape(g * c, 1, h)
+    # select mask varies over rows (sublanes): reshape inside the cascade
+    out = _barrel_shift(padded, s.reshape(g * c, h), axis=-1)[..., :w]
+    return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1)
+
+
+def _shift_cols(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """out[g, y, x] = x_in[g, y - r[g, x], x] with zero fill."""
+    g, h, w, c = x.shape
+    k = _SHIFT_MARGIN
+    xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w)
+    padded = jnp.pad(xc, ((0, 0), (k, k), (0, 0)))
+    s = jnp.clip(k - r, 0, 2 * k)
+    s = jnp.broadcast_to(s[:, None, :], (g, c, w)).reshape(g * c, w)
+    out = _barrel_shift(padded, s, axis=-2)[:, :h, :]
+    return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1)
+
+
+def _geom_three_pass(x: jnp.ndarray, op: jnp.ndarray, mag: jnp.ndarray):
+    """Apply the geometric TAW op per image via shift passes.
+
+    x: (G, H, W, C); op: (G,) in {1..5}; mag: (G,) signed magnitude.
+    """
+    g, h, w, c = x.shape
+    cy = (h - 1) * 0.5
+    cx = (w - 1) * 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) - cy  # (H,)
+    xs = jnp.arange(w, dtype=jnp.float32) - cx  # (W,)
+
+    rad = mag * (jnp.pi / 180.0)
+    # 180-degree pre-flip for large rotations keeps |shear| <= 1
+    big = (op == 5) & (jnp.abs(mag) > 90.0)
+    rad_eff = jnp.where(big, rad - jnp.sign(mag) * jnp.pi, rad)
+    flipped = jnp.where(
+        big[:, None, None, None], x[:, ::-1, ::-1, :], x
+    )
+
+    a_rot = -jnp.tan(rad_eff / 2.0)
+    b_rot = jnp.sin(rad_eff)
+
+    is_sx = op == 1
+    is_sy = op == 2
+    is_tx = op == 3
+    is_ty = op == 4
+    is_rot = op == 5
+
+    # pass 1 (rows): shear_x / translate_x / rotate's first x-shear
+    # out[y, x] = in[y, x + coef*(y-cy) - t]  =>  r(y) = -round(coef*(y-cy) - t)
+    coef1 = jnp.where(is_sx, -mag, jnp.where(is_rot, a_rot, 0.0))
+    t1 = jnp.where(is_tx, mag, 0.0)
+    r1 = -jnp.round(coef1[:, None] * ys[None, :] - t1[:, None]).astype(jnp.int32)
+    out = _shift_rows(flipped, r1)
+
+    # pass 2 (cols): shear_y / translate_y / rotate's y-shear
+    coef2 = jnp.where(is_sy, -mag, jnp.where(is_rot, b_rot, 0.0))
+    t2 = jnp.where(is_ty, mag, 0.0)
+    r2 = -jnp.round(coef2[:, None] * xs[None, :] - t2[:, None]).astype(jnp.int32)
+    out = _shift_cols(out, r2)
+
+    # pass 3 (rows): rotate's second x-shear
+    coef3 = jnp.where(is_rot, a_rot, 0.0)
+    r3 = -jnp.round(coef3[:, None] * ys[None, :]).astype(jnp.int32)
+    out = _shift_rows(out, r3)
+    return out
+
+
 # -- batched TAW (TPU fast path) ------------------------------------------
 
 # op ids: 0 Identity, 1 ShearX, 2 ShearY, 3 TransX, 4 TransY, 5 Rotate,
@@ -283,17 +401,20 @@ def _batch_affine_params(op, mag, dtype=jnp.float32):
 
 
 def _batch_equalize(imgs: jnp.ndarray) -> jnp.ndarray:
-    """Per-image-per-channel histogram equalize for a whole (B, H, W, C)
-    batch with ONE scatter-add into (B*C*256) bins."""
+    """Per-image-per-channel histogram equalize for a (B, H, W, C) batch.
+
+    TPU note: both the histogram and the LUT application are expressed as
+    compare-and-reduce over the 256 bin values — XLA fuses these into
+    scatter-free VPU loops. The scatter-add + table-gather formulation
+    cost ~83 ms/step at B=512/224px (traced); this one is ~2 ms.
+    """
     b, h, w, c = imgs.shape
     q = jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.int32)
-    chan_base = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, c), 0) * (c * 256)
-        + jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, c), 3) * 256
-    )
-    flat_idx = (q + chan_base).reshape(-1)
-    hist = jnp.zeros((b * c * 256,), jnp.int32).at[flat_idx].add(1)
-    hist = hist.reshape(b, c, 256)
+    flat = q.reshape(b, h * w, c)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    # hist[b, c, v] = #pixels of value v: compare + reduce over the pixel
+    # axis of (b, hw, c, 256), no scatter
+    hist = jnp.sum((flat[:, :, :, None] == bins).astype(jnp.int32), axis=1)
     nonzero = hist > 0
     idx = jnp.arange(256)
     last_nz = jnp.max(jnp.where(nonzero, idx, -1), axis=-1)  # (B, C)
@@ -306,9 +427,12 @@ def _batch_equalize(imgs: jnp.ndarray) -> jnp.ndarray:
         0,
         255,
     ).astype(jnp.float32)
-    # gather back through the SAME flat index used for the scatter: one
-    # flat (B*C*256) table lookup, no broadcast materialization.
-    eq = lut.reshape(-1)[flat_idx].reshape(b, h, w, c)
+    # LUT application as select-and-reduce over bins (gather-free):
+    # eq[b, p, c] = sum_v lut[b, c, v] * [q == v]
+    eq = jnp.sum(
+        jnp.where(flat[:, :, :, None] == bins, lut[:, None, :, :], 0.0),
+        axis=-1,
+    ).reshape(b, h, w, c)
     no_eq = step == 0  # (B, C)
     return jnp.where(no_eq[:, None, None, :], imgs, eq)
 
@@ -366,12 +490,10 @@ def trivial_augment_wide_stratified(
     # op 0: identity
     parts.append(x[sl(0, 1)])
 
-    # ops 1-5: one warp pass over the combined geometric slice
+    # ops 1-5: shift-pass geometry over the combined geometric slice
     g = sl(1, 6)
     if bounds[6] > bounds[1]:
-        aff = _batch_affine_params(pos_op_j[g], mag[g])
-        warped = jax.vmap(_centered_affine)(x[g], *aff)
-        parts.append(warped)
+        parts.append(_geom_three_pass(x[g], pos_op_j[g], mag[g]))
 
     f = 1.0 + mag  # enhance factors
 

@@ -27,7 +27,30 @@ def _load_state_dict(path: str) -> dict:
     return {k: v.numpy() for k, v in obj.items()}
 
 
-def vit_params_from_torch(sd: dict, depth: int, has_layerscale: bool) -> dict:
+def interpolate_pos_embed(pos: np.ndarray, target_tokens: int) -> np.ndarray:
+    """Bicubic-free bilinear resize of the patch position grid (CLS slot
+    preserved), for porting checkpoints trained at a different image size
+    (e.g. dinov2's 518px grid onto a 224px model)."""
+    n_src = pos.shape[1] - 1
+    if n_src == target_tokens:
+        return pos
+    import jax
+    import jax.numpy as jnp
+
+    side_src = int(round(n_src**0.5))
+    side_dst = int(round(target_tokens**0.5))
+    cls_slot, grid = pos[:, :1], pos[:, 1:]
+    grid = grid.reshape(1, side_src, side_src, -1)
+    resized = jax.image.resize(
+        jnp.asarray(grid), (1, side_dst, side_dst, grid.shape[-1]), "linear"
+    )
+    resized = np.asarray(resized).reshape(1, side_dst * side_dst, -1)
+    return np.concatenate([cls_slot, resized], axis=1)
+
+
+def vit_params_from_torch(
+    sd: dict, depth: int, has_layerscale: bool, target_tokens: int | None = None
+) -> dict:
     """timm/dinov2 VisionTransformer state dict -> flax params tree."""
 
     def stack(fmt: str, transform=lambda x: x):
@@ -75,9 +98,12 @@ def vit_params_from_torch(sd: dict, depth: int, has_layerscale: bool) -> dict:
         blocks["ls2"] = {"gamma": stack(ls2_key)}
 
     conv = _t(sd["patch_embed.proj.weight"])  # (D, C, p, p)
+    pos = _t(sd["pos_embed"])
+    if target_tokens is not None:
+        pos = interpolate_pos_embed(pos, target_tokens)
     params = {
         "cls_token": _t(sd["cls_token"]),
-        "pos_embed": _t(sd["pos_embed"]),
+        "pos_embed": pos,
         "patch_embed": {
             "proj": {
                 # flatten (c, p1, p2) to match PatchEmbed's rearrange order
@@ -208,7 +234,10 @@ def port_torch_checkpoint(path: str, bundle, variables: dict) -> dict:
     kind = type(bundle.module).__name__
     if kind == "VisionTransformer":
         params = vit_params_from_torch(
-            sd, bundle.cfg.depth, bundle.cfg.layerscale_init is not None
+            sd,
+            bundle.cfg.depth,
+            bundle.cfg.layerscale_init is not None,
+            target_tokens=bundle.cfg.num_tokens,
         )
         new_vars = {**variables, "params": params}
     elif kind == "ConvNeXtV2":

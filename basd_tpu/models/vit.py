@@ -68,6 +68,10 @@ class VisionTransformer(nn.Module):
     cfg: ViTConfig
     importance_mode: Optional[str] = None
     remat: bool = False
+    # unroll the block scan: better XLA layouts/fusion at small depth
+    # (scan carries forced batch-minor relayouts, traced ~40ms/step);
+    # compile time rises accordingly.
+    unroll: int = 12
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -107,6 +111,7 @@ class VisionTransformer(nn.Module):
             in_axes=(0,),
             out_axes=0,
             length=cfg.depth,
+            unroll=min(self.unroll, cfg.depth),
         )(
             num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio,

@@ -174,7 +174,7 @@ def newton_schulz_polar(
     x = (x / norm).astype(inner_dtype)
     prec = HI if inner_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
-    def body(_, x):
+    def body(x):
         xxt = jnp.einsum("...ij,...kj->...ik", x, x, precision=prec,
                          preferred_element_type=jnp.float32)
         y = 1.5 * x.astype(jnp.float32) - 0.5 * jnp.einsum(
@@ -183,7 +183,10 @@ def newton_schulz_polar(
         )
         return y.astype(inner_dtype)
 
-    x = jax.lax.fori_loop(0, steps, body, x)
+    # unrolled (static step count): lets XLA pipeline the matmul chain
+    # instead of a while-loop barrier per iteration
+    for _ in range(steps):
+        x = body(x)
     return x.astype(dtype)
 
 

@@ -270,9 +270,15 @@ def test_stratified_taw_per_image_semantics():
                 )
             )
         )
-        np.testing.assert_array_equal(
-            out[i], ref, err_msg=f"i={i} op={ops[i]} mag={mags[i]}"
-        )
+        if int(ops[i]) == 5:
+            # rotation uses the 3-shear fast path: <=1px deviation from the
+            # exact inverse map; require most pixels to agree exactly
+            frac_eq = (out[i] == ref).mean()
+            assert frac_eq > 0.5, f"rotate mismatch frac_eq={frac_eq}"
+        else:
+            np.testing.assert_array_equal(
+                out[i], ref, err_msg=f"i={i} op={ops[i]} mag={mags[i]}"
+            )
 
 
 def test_stratified_taw_marginal_uniformity():
@@ -292,3 +298,47 @@ def test_stratified_taw_marginal_uniformity():
     # each image saw at least 2 distinct ops and no op dominates
     assert (counts.max(axis=1) < 30).all()
     assert ((counts > 0).sum(axis=1) >= 5).all()
+
+
+def test_three_pass_rotation_on_smooth_image():
+    """3-shear rotation must closely match the exact inverse map on a
+    smooth image (<=1px shifts => tiny value differences)."""
+    from basd_tpu.data.augment import _geom_three_pass, _rotate
+
+    h = w = 33
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([yy * 3, xx * 3, (yy + xx) * 1.5], -1)
+    for deg in (17.0, -40.0, 95.0, -130.0):
+        fast = np.asarray(
+            _geom_three_pass(
+                jnp.asarray(img)[None],
+                jnp.asarray([5]),
+                jnp.asarray([deg], jnp.float32),
+            )
+        )[0]
+        exact = np.asarray(_rotate(jnp.asarray(img), deg))
+        interior = (exact > 0) & (fast > 0)
+        diff = np.abs(fast - exact)[interior]
+        assert np.median(diff) <= 6.0, (deg, np.median(diff))
+
+
+def test_shift_passes_exact_for_shear_translate():
+    from basd_tpu.data.augment import (
+        _geom_three_pass,
+        _shear_x,
+        _shear_y,
+        _translate_x,
+        _translate_y,
+    )
+
+    img = jnp.asarray(RNG.integers(0, 256, (24, 24, 3)), jnp.float32)
+    cases = [(1, 0.7, _shear_x), (2, -0.5, _shear_y),
+             (3, 7.0, _translate_x), (4, -5.0, _translate_y)]
+    for op, mag, fn in cases:
+        fast = np.asarray(
+            _geom_three_pass(
+                img[None], jnp.asarray([op]), jnp.asarray([mag], jnp.float32)
+            )
+        )[0]
+        exact = np.asarray(fn(img, mag))
+        np.testing.assert_array_equal(fast, exact, err_msg=f"op={op}")
