@@ -116,7 +116,10 @@ def select_and_mix(
         "lbnd,sd->lbns", t_tokens.astype(jnp.float32), proj_t, precision=HI
     ).reshape(L, -1, d_s)
 
-    ranks = jnp.minimum(marchenko_pastur_rank(z_t), d_s - 1)  # (L,)
+    rank_impl = "jacobi" if cfg.backend == "jacobi" else "xla"
+    ranks = jnp.minimum(
+        marchenko_pastur_rank(z_t, impl=rank_impl), d_s - 1
+    )  # (L,)
     masks = rank_mask(ranks, d_s)  # (L, D_s)
 
     basis_t, svals_t = grassmann_subspace(z_t, backend=cfg.backend)

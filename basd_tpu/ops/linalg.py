@@ -50,10 +50,11 @@ def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > _SAFE_EIG_FLOOR, safe, 0.0)
 
 
-def singular_values_gram(m: jnp.ndarray) -> jnp.ndarray:
+def singular_values_gram(m: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
     """Descending singular values of ``m`` (..., r, c) via the smaller Gram.
 
-    Differentiable; equals ``torch.linalg.svdvals`` up to ~sqrt(eps)
+    Differentiable (vector-based eigenvalue backward — stable at
+    degeneracies); equals ``torch.linalg.svdvals`` up to ~sqrt(eps)
     relative accuracy in the smallest values (Gram squaring).
     """
     r, c = m.shape[-2], m.shape[-1]
@@ -61,13 +62,15 @@ def singular_values_gram(m: jnp.ndarray) -> jnp.ndarray:
         gram = jnp.einsum("...ij,...kj->...ik", m, m, precision=HI)
     else:
         gram = jnp.einsum("...ji,...jk->...ik", m, m, precision=HI)
-    vals = jnp.linalg.eigvalsh(gram)[..., ::-1]
+    vals = eigvalsh_only(gram, impl)[..., ::-1]
     return _safe_sqrt(vals)
 
 
 def singular_values(m: jnp.ndarray, backend: str = "gram") -> jnp.ndarray:
     if backend == "gram":
         return singular_values_gram(m)
+    if backend == "jacobi":
+        return singular_values_gram(m, impl="jacobi")
     if backend == "svd":
         return jnp.linalg.svd(m, compute_uv=False)
     raise ValueError(f"unknown backend {backend!r}")
@@ -78,8 +81,46 @@ def singular_values(m: jnp.ndarray, backend: str = "gram") -> jnp.ndarray:
 _EIGH_GRAD_CLAMP = 1e-6
 
 
-@jax.custom_vjp
-def safe_eigh(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _eigh_impl(a: jnp.ndarray, impl: str) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward eigh dispatch: XLA QDWH or the Pallas parallel-Jacobi
+    kernel ('jacobi', TPU fast path for many small batched matrices)."""
+    if impl == "jacobi":
+        from basd_tpu.ops.pallas.jacobi_eigh import jacobi_eigh
+
+        batch_shape = a.shape[:-2]
+        n = a.shape[-1]
+        # interpret mode off-TPU so CPU tests of the jacobi backend work
+        interpret = jax.default_backend() != "tpu"
+        w, v = jacobi_eigh(a.reshape((-1, n, n)), interpret=interpret)
+        return w.reshape(batch_shape + (n,)), v.reshape(batch_shape + (n, n))
+    return jnp.linalg.eigh(a)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def eigvalsh_only(a: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
+    """Eigenvalues (ascending) with a vector-based backward
+    ``dA = V diag(dw) V^T`` — stable at degeneracies (no gap
+    denominators), unlike differentiating through a full eigh."""
+    if impl == "jacobi":
+        return _eigh_impl(a, impl)[0]
+    return jnp.linalg.eigvalsh(a)
+
+
+def _eigvalsh_only_fwd(a, impl):
+    w, v = _eigh_impl(a, impl)
+    return w, v
+
+
+def _eigvalsh_only_bwd(impl, v, dw):
+    da = jnp.einsum("...ik,...k,...jk->...ij", v, dw, v, precision=HI)
+    return (da,)
+
+
+eigvalsh_only.defvjp(_eigvalsh_only_fwd, _eigvalsh_only_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def safe_eigh(a: jnp.ndarray, impl: str = "xla") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched symmetric eigh (ascending) whose backward clamps the
     1/(lambda_j - lambda_i) factors.
 
@@ -91,15 +132,15 @@ def safe_eigh(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     degeneracies (where any basis of the eigenspace is equally valid, so
     the loss is insensitive to the unresolved rotation).
     """
-    return jnp.linalg.eigh(a)
+    return _eigh_impl(a, impl)
 
 
-def _safe_eigh_fwd(a):
-    w, v = jnp.linalg.eigh(a)
+def _safe_eigh_fwd(a, impl):
+    w, v = _eigh_impl(a, impl)
     return (w, v), (w, v)
 
 
-def _safe_eigh_bwd(res, cotangents):
+def _safe_eigh_bwd(impl, res, cotangents):
     w, v = res
     dw, dv = cotangents
     # F_ij = 1 / (w_j - w_i), clamped near degeneracies, zero diagonal
@@ -121,8 +162,10 @@ def _safe_eigh_bwd(res, cotangents):
 safe_eigh.defvjp(_safe_eigh_fwd, _safe_eigh_bwd)
 
 
-def safe_eigh_desc(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    vals, vecs = safe_eigh(a)
+def safe_eigh_desc(
+    a: jnp.ndarray, impl: str = "xla"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    vals, vecs = safe_eigh(a, impl)
     return vals[..., ::-1], vecs[..., ::-1]
 
 
@@ -143,7 +186,8 @@ def right_singular_vectors(
         _, s, vt = jnp.linalg.svd(x, full_matrices=False)
         return s, jnp.swapaxes(vt, -1, -2)
     gram = jnp.einsum("...ji,...jk->...ik", x, x, precision=HI)
-    vals, vecs = safe_eigh_desc(gram)
+    impl = "jacobi" if backend == "jacobi" else "xla"
+    vals, vecs = safe_eigh_desc(gram, impl)
     return _safe_sqrt(vals), vecs
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from basd_tpu.ops.linalg import HI
+from basd_tpu.ops.linalg import HI, eigvalsh_only
 
 
 def _torch_style_median(sorted_vals: jnp.ndarray) -> jnp.ndarray:
@@ -30,7 +30,7 @@ def _torch_style_median(sorted_vals: jnp.ndarray) -> jnp.ndarray:
     return sorted_vals[..., (n - 1) // 2]
 
 
-def marchenko_pastur_rank(features: jnp.ndarray) -> jnp.ndarray:
+def marchenko_pastur_rank(features: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
     """MP rank of ``features`` (..., M, D) -> (...,) int32 (traced).
 
     ``q = D / M`` regardless of which Gram matrix is formed, exactly as the
@@ -43,7 +43,7 @@ def marchenko_pastur_rank(features: jnp.ndarray) -> jnp.ndarray:
         cov = jnp.einsum("...ji,...jk->...ik", f32, f32, precision=HI) / m
     else:
         cov = jnp.einsum("...ij,...kj->...ik", f32, f32, precision=HI) / m
-    eigvals = jnp.linalg.eigvalsh(cov)  # ascending
+    eigvals = eigvalsh_only(cov, impl)  # ascending
     sigma2 = _torch_style_median(eigvals)
     lambda_plus = sigma2 * (1.0 + q**0.5) ** 2
     return jnp.sum(eigvals > lambda_plus[..., None], axis=-1).astype(jnp.int32)

@@ -61,3 +61,33 @@ def test_batch_padding():
     assert w.shape == (5, 8)
     w_ref = np.linalg.eigvalsh(a)
     np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_selector_jacobi_backend_tiny():
+    """select_and_mix with backend='jacobi' (interpret off-TPU) matches
+    the gram backend closely on tiny dims."""
+    import jax
+
+    from basd_tpu.losses.selector import SelectorConfig, select_and_mix
+
+    rng = np.random.default_rng(3)
+    P, L, B, NS, NT, DS, DT = 2, 3, 2, 6, 8, 8, 12
+    params = {"log_temperatures": jnp.zeros((P,))}
+    buffers = {
+        "proj_s": jnp.asarray(np.linalg.qr(rng.standard_normal((DS, DS)))[0], jnp.float32),
+        "proj_t": jnp.asarray(np.linalg.qr(rng.standard_normal((DT, DS)))[0].T[:DS], jnp.float32),
+    }
+    st = jnp.asarray(rng.standard_normal((P, B, NS, DS)), jnp.float32)
+    tt = jnp.asarray(rng.standard_normal((L, B, NT, DT)), jnp.float32)
+    ti = jax.nn.softmax(jnp.asarray(rng.standard_normal((L, B, NT)), jnp.float32))
+
+    out_g = select_and_mix(params, buffers, st, tt, ti, SelectorConfig(P, DS, DT, "gram"))
+    out_j = select_and_mix(params, buffers, st, tt, ti, SelectorConfig(P, DS, DT, "jacobi"))
+    np.testing.assert_array_equal(
+        np.asarray(out_g[2]["ranks"]), np.asarray(out_j[2]["ranks"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_g[2]["distances_sq"]),
+        np.asarray(out_j[2]["distances_sq"]),
+        rtol=5e-3, atol=1e-3,
+    )
