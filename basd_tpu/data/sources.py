@@ -232,19 +232,14 @@ class HFSource:
         return self.info["num_classes"]
 
     def _decode(self, example, out_size: int) -> np.ndarray:
-        from PIL import Image as PILImage
+        # aspect-preserving shorter-side resize then center crop, i.e.
+        # torchvision Resize(out) + CenterCrop(out) semantics. The resize
+        # runs in the native C++ core (basd_tpu/data/native) so a thin
+        # host CPU can keep the TPU fed; PIL only decodes.
+        from basd_tpu.data.native import resize_center_crop
 
         img = example[self.info["image_key"]].convert("RGB")
-        w, h = img.size
-        # aspect-preserving shorter-side resize then center crop, i.e.
-        # torchvision Resize(out) + CenterCrop(out) semantics.
-        scale = out_size / min(w, h)
-        nw, nh = max(out_size, round(w * scale)), max(out_size, round(h * scale))
-        img = img.resize((nw, nh), PILImage.BILINEAR)
-        left = (nw - out_size) // 2
-        top = (nh - out_size) // 2
-        img = img.crop((left, top, left + out_size, top + out_size))
-        return np.asarray(img, np.uint8)
+        return resize_center_crop(np.asarray(img, np.uint8), out_size)
 
     def load_batches(
         self,

@@ -118,3 +118,46 @@ def test_synthetic_source_determinism_and_batches():
     np.testing.assert_array_equal(b1[0]["label"], b2[0]["label"])
     b3 = list(src.load_batches("train", 32, 40, shuffle=True, seed=8, drop_last=True))
     assert not np.array_equal(b1[0]["label"], b3[0]["label"])
+
+
+def test_native_resize_matches_pil():
+    """C++ resize core vs PIL bilinear (torchvision Resize+CenterCrop
+    semantics) — small integer tolerance from rounding order."""
+    from PIL import Image
+
+    from basd_tpu.data.native import (
+        _numpy_resize_center_crop,
+        native_available,
+        resize_center_crop,
+    )
+
+    img = RNG.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    out = resize_center_crop(img, 32)
+    assert out.shape == (32, 32, 3)
+
+    pil = Image.fromarray(img)
+    scale = 32 / 48
+    nw, nh = max(32, round(64 * scale)), 32
+    ref = pil.resize((nw, nh), Image.BILINEAR)
+    left = (nw - 32) // 2
+    ref = np.asarray(ref.crop((left, 0, left + 32, 32)), np.uint8)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert np.median(diff) <= 1.0
+    assert (diff <= 3).mean() > 0.97
+
+    # numpy fallback agrees with the native core
+    np_out = _numpy_resize_center_crop(img, 32)
+    if native_available():
+        assert np.abs(np_out.astype(int) - out.astype(int)).max() <= 1
+
+
+def test_native_resize_upscale_and_square():
+    from basd_tpu.data.native import resize_center_crop
+
+    img = RNG.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    out = resize_center_crop(img, 40)  # upscale path
+    assert out.shape == (40, 40, 3)
+    same = resize_center_crop(
+        RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8), 32
+    )
+    assert same.shape == (32, 32, 3)
