@@ -43,7 +43,12 @@ from basd_tpu.ops.grassmann import (
     rank_mask,
     spectral_grassmann_distance_sq,
 )
-from basd_tpu.ops.linalg import HI, orthogonal_matrix
+from basd_tpu.ops.linalg import orthogonal_matrix
+
+# 3-pass f32 emulation: ~2e-6 relative accuracy on the projections, half
+# the cost of the 6-pass HIGHEST (the Gram contractions downstream stay
+# HIGHEST — they feed eigenvalue thresholds).
+_PROJ_PREC = jax.lax.Precision.HIGH
 from basd_tpu.ops.mp_rank import marchenko_pastur_rank
 
 
@@ -113,7 +118,7 @@ def select_and_mix(
     t_imp = jax.lax.stop_gradient(teacher_importance)
 
     z_t = jnp.einsum(
-        "lbnd,sd->lbns", t_tokens.astype(jnp.float32), proj_t, precision=HI
+        "lbnd,sd->lbns", t_tokens.astype(jnp.float32), proj_t, precision=_PROJ_PREC
     ).reshape(L, -1, d_s)
 
     rank_impl = "jacobi" if cfg.backend == "jacobi" else "xla"
@@ -128,7 +133,7 @@ def select_and_mix(
 
     # ---- student side (differentiable) ---------------------------------
     z_s = jnp.einsum(
-        "pbnd,sd->pbns", student_tokens.astype(jnp.float32), proj_s, precision=HI
+        "pbnd,sd->pbns", student_tokens.astype(jnp.float32), proj_s, precision=_PROJ_PREC
     ).reshape(P, -1, d_s)
     basis_s, _ = grassmann_subspace(z_s, backend=cfg.backend)  # (P, D_s, D_s)
 

@@ -98,20 +98,25 @@ class Attention(nn.Module):
         hd = d // h
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = rearrange(q, "b n (h e) -> b h n e", h=h)
-        k = rearrange(k, "b n (h e) -> b h n e", h=h)
-        v = rearrange(v, "b n (h e) -> b h n e", h=h)
+        # keep activations in (B, N, H, E) — heads stay folded in the
+        # feature (minor) axis; the score einsums batch over (b, h)
+        # without a physical (B, H, N, E) relayout, which XLA otherwise
+        # propagates into batch-minor activation layouts for the whole
+        # block chain (traced as ~3ms transpose fusions per layer).
+        q = q.reshape(b, n, h, hd)
+        k = k.reshape(b, n, h, hd)
+        v = v.reshape(b, n, h, hd)
         scale = hd**-0.5
 
         importance = None
         if self.importance_mode == "mean":
             logits = jnp.einsum(
-                "bhqe,bhke->bhqk", q, k, precision=_HI
+                "bqhe,bkhe->bhqk", q, k, precision=_HI
             ).astype(jnp.float32) * scale
             probs = jax.nn.softmax(logits, axis=-1)
             importance = jnp.mean(probs, axis=(1, 2))  # (B, N)
             out = jnp.einsum(
-                "bhqk,bhke->bhqe", probs.astype(self.dtype), v
+                "bhqk,bkhe->bqhe", probs.astype(self.dtype), v
             )
         else:
             if self.importance_mode == "cls":
@@ -119,18 +124,17 @@ class Attention(nn.Module):
                 # the CLS key and mean over heads (reference:
                 # src/losses/relational.py:24).
                 cls_logits = jnp.einsum(
-                    "bhe,bhke->bhk", q[:, :, 0], k, precision=_HI
+                    "bhe,bkhe->bhk", q[:, 0], k, precision=_HI
                 ).astype(jnp.float32) * scale
                 cls_probs = jax.nn.softmax(cls_logits, axis=-1)
                 importance = jnp.mean(cls_probs[..., 1:], axis=1)  # (B, N-1)
-            out = jax.nn.dot_product_attention(
-                jnp.swapaxes(q, 1, 2),
-                jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2),
-            )
-            out = jnp.swapaxes(out, 1, 2)
+            scores = jnp.einsum("bqhe,bkhe->bhqk", q, k) * scale
+            probs = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhe->bqhe", probs, v)
 
-        out = rearrange(out, "b h n e -> b n (h e)")
+        out = out.reshape(b, n, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
         return out, importance
 

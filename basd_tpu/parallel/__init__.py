@@ -1,0 +1,15 @@
+from basd_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "param_sharding",
+    "replicated",
+    "shard_batch",
+]
