@@ -41,6 +41,7 @@ class BASDLossConfig:
     teacher_has_cls_token: bool  # kept for API parity; reduction happens
     # upstream in the teacher forward (see ops.procrustes)
     backend: str = "gram"
+    max_rank: int | None = None
 
     @property
     def token_layers(self) -> list[int]:
@@ -53,6 +54,7 @@ class BASDLossConfig:
             student_dim=self.student_dim,
             teacher_dim=self.teacher_dim,
             backend=self.backend,
+            max_rank=self.max_rank,
         )
 
 

@@ -57,7 +57,13 @@ class SelectorConfig:
     num_extraction_points: int
     student_dim: int
     teacher_dim: int
-    backend: str = "gram"  # 'gram' (TPU fast path) or 'svd' (parity)
+    backend: str = "gram"  # 'gram'/'jacobi' (TPU fast paths), 'svd' (parity)
+    # static cap on subspace rank: shrinks the (P, L)-batched principal-
+    # angle eigendecompositions from (D_s, D_s) to (max_rank, max_rank).
+    # ViT features have intrinsic dims far below D_s (MP ranks ~20-130),
+    # so a cap of e.g. D_s/2 rarely binds; None = exact reference
+    # semantics (rank <= D_s - 1).
+    max_rank: int | None = None
 
 
 def init_selector(
@@ -121,26 +127,69 @@ def select_and_mix(
         "lbnd,sd->lbns", t_tokens.astype(jnp.float32), proj_t, precision=_PROJ_PREC
     ).reshape(L, -1, d_s)
 
-    rank_impl = "jacobi" if cfg.backend == "jacobi" else "xla"
-    ranks = jnp.minimum(
-        marchenko_pastur_rank(z_t, impl=rank_impl), d_s - 1
-    )  # (L,)
-    masks = rank_mask(ranks, d_s)  # (L, D_s)
-
-    basis_t, svals_t = grassmann_subspace(z_t, backend=cfg.backend)
-    basis_t = jax.lax.stop_gradient(basis_t)
-    svals_t = jax.lax.stop_gradient(svals_t)
-
-    # ---- student side (differentiable) ---------------------------------
     z_s = jnp.einsum(
         "pbnd,sd->pbns", student_tokens.astype(jnp.float32), proj_s, precision=_PROJ_PREC
     ).reshape(P, -1, d_s)
-    basis_s, _ = grassmann_subspace(z_s, backend=cfg.backend)  # (P, D_s, D_s)
+
+    r_cap = min(cfg.max_rank or d_s, d_s)
+
+    if cfg.backend in ("gram", "jacobi") and z_t.shape[1] >= d_s:
+        # fused TPU path: ONE batched eigendecomposition covers the MP-rank
+        # covariances (uncentered, no-grad), the teacher subspaces
+        # (centered, no-grad), and the student bases (centered,
+        # differentiable) — 3 XLA custom-calls collapse to 1.
+        from basd_tpu.ops.linalg import HI, _safe_sqrt, safe_eigh
+
+        m_t = z_t.shape[1]
+        cov_t = (
+            jnp.einsum("lmi,lmj->lij", z_t, z_t, precision=HI) / m_t
+        )
+        z_tc = z_t - jnp.mean(z_t, axis=1, keepdims=True)
+        gram_tc = jnp.einsum("lmi,lmj->lij", z_tc, z_tc, precision=HI)
+        z_sc = z_s - jnp.mean(z_s, axis=1, keepdims=True)
+        gram_sc = jnp.einsum("pmi,pmj->pij", z_sc, z_sc, precision=HI)
+
+        stacked = jnp.concatenate(
+            [
+                jax.lax.stop_gradient(cov_t),
+                jax.lax.stop_gradient(gram_tc),
+                gram_sc,
+            ],
+            axis=0,
+        )
+        impl = "jacobi" if cfg.backend == "jacobi" else "xla"
+        w_all, v_all = safe_eigh(stacked, impl)  # ascending
+
+        # MP rank from the covariance spectra (reference: torch-style
+        # median = lower middle element; q = D / M)
+        w_cov = w_all[:L]
+        sigma2 = w_cov[:, (d_s - 1) // 2]
+        lam_plus = sigma2 * (1.0 + (d_s / m_t) ** 0.5) ** 2
+        ranks = jnp.sum(w_cov > lam_plus[:, None], axis=-1).astype(jnp.int32)
+        ranks = jnp.minimum(ranks, min(d_s - 1, r_cap))
+
+        w_t = w_all[L : 2 * L, ::-1]
+        basis_t = v_all[L : 2 * L, :, ::-1][:, :, :r_cap]
+        svals_t = _safe_sqrt(w_t)[:, :r_cap]
+        basis_s = v_all[2 * L :, :, ::-1][:, :, :r_cap]
+    else:
+        rank_impl = "jacobi" if cfg.backend == "jacobi" else "xla"
+        ranks = jnp.minimum(
+            marchenko_pastur_rank(z_t, impl=rank_impl),
+            min(d_s - 1, r_cap),
+        )  # (L,)
+        basis_t, svals_t = grassmann_subspace(z_t, backend=cfg.backend)
+        basis_t = jax.lax.stop_gradient(basis_t)[:, :, :r_cap]
+        svals_t = jax.lax.stop_gradient(svals_t)[:, :r_cap]
+        basis_s, _ = grassmann_subspace(z_s, backend=cfg.backend)
+        basis_s = basis_s[:, :, :r_cap]
+
+    masks = rank_mask(ranks, r_cap)  # (L, r_cap)
 
     # ---- principal angles, batched over (P, L) --------------------------
     d_sq = spectral_grassmann_distance_sq(
-        basis_s[:, None],  # (P, 1, D, D)
-        basis_t[None, :],  # (1, L, D, D)
+        basis_s[:, None],  # (P, 1, D, R)
+        basis_t[None, :],  # (1, L, D, R)
         svals_t[None, :],
         masks[None, :],
         backend=cfg.backend,

@@ -68,6 +68,7 @@ class Trainer:
             label_smoothing=config.training.label_smoothing,
             teacher_has_cls_token=teacher_bundle.info["has_cls_token"],
             backend=config.basd.get("spectral_backend", "gram"),
+            max_rank=config.basd.get("max_rank"),
         )
         self.token_layers = self.loss_cfg.token_layers
 

@@ -84,6 +84,9 @@ def main() -> None:
                 "teacher_model_name": "deit_small_patch16_224",
                 "num_extraction_points": 4,
                 "spectral_backend": "gram",
+                # static rank cap: D_s/2 = 96; observed MP ranks on ViT
+                # features sit far below (see ranks in training logs)
+                "max_rank": 96,
             },
             "tpu": {"mesh": {"data": -1, "model": 1}, "remat": True},
         }

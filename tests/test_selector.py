@@ -312,3 +312,61 @@ def test_extraction_layers_match_reference_rounding():
     assert extraction_layers(12, 1) == [11]
     assert extraction_layers(12, 2) == [0, 11]
     assert extraction_layers(24, 4) == [0, 8, 15, 23]
+
+
+def test_max_rank_cap_matches_uncapped_when_not_binding(problem):
+    """A max_rank cap above every MP rank must not change anything."""
+    student, t_tok, t_att, proj_s, proj_t, log_temps = problem
+    params = {"log_temperatures": jnp.asarray(log_temps)}
+    buffers = {"proj_s": jnp.asarray(proj_s), "proj_t": jnp.asarray(proj_t)}
+    st = jnp.stack([jnp.asarray(s) for s in student])
+    tt = jnp.stack([jnp.asarray(t_tok[i]) for i in range(L)])
+    timp = jnp.stack(
+        [
+            reduce_attention_importance(jnp.asarray(t_att[i]), has_cls_token=True)
+            for i in range(L)
+        ]
+    )
+    full = select_and_mix(
+        params, buffers, st, tt, timp, SelectorConfig(P, DS, DT, "gram")
+    )
+    capped = select_and_mix(
+        params, buffers, st, tt, timp,
+        SelectorConfig(P, DS, DT, "gram", max_rank=DS - 2),
+    )
+    # ranks in this fixture are <= 7 << DS-2, so the cap must be inert
+    np.testing.assert_array_equal(
+        np.asarray(full[2]["ranks"]), np.asarray(capped[2]["ranks"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(full[2]["distances_sq"]),
+        np.asarray(capped[2]["distances_sq"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_fused_spectral_path_gradients(problem):
+    """The single-eigh fused path must carry finite nonzero gradients into
+    the student tokens and temperatures."""
+    student, t_tok, t_att, proj_s, proj_t, log_temps = problem
+    params = {"log_temperatures": jnp.asarray(log_temps)}
+    buffers = {"proj_s": jnp.asarray(proj_s), "proj_t": jnp.asarray(proj_t)}
+    st = jnp.stack([jnp.asarray(s) for s in student])
+    tt = jnp.stack([jnp.asarray(t_tok[i]) for i in range(L)])
+    timp = jnp.stack(
+        [
+            reduce_attention_importance(jnp.asarray(t_att[i]), has_cls_token=True)
+            for i in range(L)
+        ]
+    )
+    cfg = SelectorConfig(P, DS, DT, "gram", max_rank=12)
+
+    def f(params, st):
+        mixed, mimp, _ = select_and_mix(params, buffers, st, tt, timp, cfg)
+        return jnp.sum(mixed.astype(jnp.float32) ** 2) + jnp.sum(mimp)
+
+    gp, gs = jax.grad(f, argnums=(0, 1))(params, st)
+    assert np.isfinite(np.asarray(gp["log_temperatures"])).all()
+    assert float(jnp.abs(gp["log_temperatures"]).sum()) > 0
+    assert np.isfinite(np.asarray(gs)).all()
+    assert float(jnp.abs(gs).sum()) > 0
