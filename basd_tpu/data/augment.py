@@ -303,25 +303,27 @@ def _shift_rows(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     128 lanes — 42x memory blowup, observed as an OOM)."""
     g, h, w, c = x.shape
     k = _SHIFT_MARGIN
-    xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w)
+    # bf16 cascade: pixel values are integers in [0, 255], exactly
+    # representable in bf16 — halves the bandwidth of the ~10 roll+select
+    # passes.
+    xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w).astype(jnp.bfloat16)
     padded = jnp.pad(xc, ((0, 0), (0, 0), (k, k)))
     s = jnp.clip(k - r, 0, 2 * k)
-    s = jnp.broadcast_to(s[:, None, :], (g, c, h)).reshape(g * c, 1, h)
-    # select mask varies over rows (sublanes): reshape inside the cascade
-    out = _barrel_shift(padded, s.reshape(g * c, h), axis=-1)[..., :w]
-    return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1)
+    s = jnp.broadcast_to(s[:, None, :], (g, c, h)).reshape(g * c, h)
+    out = _barrel_shift(padded, s, axis=-1)[..., :w]
+    return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1).astype(x.dtype)
 
 
 def _shift_cols(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """out[g, y, x] = x_in[g, y - r[g, x], x] with zero fill."""
     g, h, w, c = x.shape
     k = _SHIFT_MARGIN
-    xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w)
+    xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w).astype(jnp.bfloat16)
     padded = jnp.pad(xc, ((0, 0), (k, k), (0, 0)))
     s = jnp.clip(k - r, 0, 2 * k)
     s = jnp.broadcast_to(s[:, None, :], (g, c, w)).reshape(g * c, w)
     out = _barrel_shift(padded, s, axis=-2)[:, :h, :]
-    return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1)
+    return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1).astype(x.dtype)
 
 
 def _geom_three_pass(x: jnp.ndarray, op: jnp.ndarray, mag: jnp.ndarray):
