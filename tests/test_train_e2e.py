@@ -181,3 +181,46 @@ def test_full_cli(tmp_path):
     assert metrics["efficiency"]["param_count"] > 0
     assert (out / "config.yaml").exists()
     assert (out / "checkpoints/latest/custom_state.json").exists()
+
+
+def test_cnn_to_vit_distillation(tmp_path):
+    """Cross-architecture path (reference Table 2 / BASELINE config 3):
+    CNN teacher -> single-layer tokens with uniform importance, no
+    intrinsic-dim student derivation."""
+    mesh = make_mesh(data=1)
+    cfg = tiny_config(tmp_path)
+    cfg.basd.teacher_model_name = "convnextv2_tiny.fcmae"
+
+    teacher = create_model(
+        "convnextv2_tiny.fcmae", img_size=32, dtype=jnp.bfloat16
+    )
+    t_vars = init_model(teacher, jax.random.PRNGKey(1), 32)
+    assert teacher.info["feature_format"] == "nhwc"
+    assert teacher.info["has_cls_token"] is False
+
+    student = create_model(
+        "deit_tiny_patch16_224",
+        img_size=32,
+        num_classes=10,
+        drop_path_rate=0.1,
+        arch_overrides=dict(embed_dim=48, depth=3, num_heads=2, mlp_ratio=2.0),
+        dtype=jnp.bfloat16,
+    )
+    s_vars = init_model(student, jax.random.PRNGKey(2), 32, fan_in_init=True)
+    stats = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    trainer = Trainer(
+        cfg,
+        student_bundle=student,
+        student_params=s_vars["params"],
+        teacher_bundle=teacher,
+        teacher_vars=t_vars,
+        mesh=mesh,
+        dataset_stats=stats,
+        teacher_stats=stats,
+    )
+    # CNN teacher: teacher_dim = 768, single layer
+    assert trainer.loss_cfg.teacher_dim == 768
+    assert trainer.loss_cfg.teacher_has_cls_token is False
+    source = SyntheticSource("synthetic/tiny")
+    metrics = trainer.train_epoch(source, epoch=0)
+    assert np.isfinite(metrics["train_loss"])
