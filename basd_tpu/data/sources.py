@@ -40,6 +40,13 @@ _SYNTHETIC_SPECS = {
     "synthetic/imagenet100": dict(num_classes=100, native_size=256, n_train=2048, n_eval=512),
     "synthetic/imagenet1k": dict(num_classes=1000, native_size=256, n_train=4096, n_eval=1024),
     "synthetic/tiny": dict(num_classes=10, native_size=40, n_train=256, n_eval=64),
+    # robustness-subset fixture: classes are a named subset of
+    # synthetic/tiny's label space (the ImageNet-A pattern, reference:
+    # datasets.py:71-77)
+    "synthetic/tiny_subset": dict(
+        num_classes=4, native_size=40, n_train=64, n_eval=32,
+        parent_classes=(2, 5, 7, 9),
+    ),
 }
 
 
@@ -52,11 +59,17 @@ def dataset_info(dataset_name: str) -> dict:
     if is_synthetic(dataset_name):
         spec = _SYNTHETIC_SPECS[dataset_name]
         c = spec["num_classes"]
+        parents = spec.get("parent_classes")
+        names = (
+            tuple(f"class_{i:04d}" for i in parents)
+            if parents
+            else tuple(f"class_{i:04d}" for i in range(c))
+        )
         return {
             "image_key": "img",
             "label_key": "label",
             "num_classes": c,
-            "class_names": tuple(f"class_{i:04d}" for i in range(c)),
+            "class_names": names,
             "train_split": "train",
             "eval_split": "test",
         }

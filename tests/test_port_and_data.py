@@ -161,3 +161,8 @@ def test_native_resize_upscale_and_square():
         RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8), 32
     )
     assert same.shape == (32, 32, 3)
+
+
+def test_subset_indices_for_robustness_fixture():
+    idx = get_subset_indices("synthetic/tiny_subset", "synthetic/tiny")
+    assert idx == (2, 5, 7, 9)

@@ -370,3 +370,63 @@ def test_fused_spectral_path_gradients(problem):
     assert float(jnp.abs(gp["log_temperatures"]).sum()) > 0
     assert np.isfinite(np.asarray(gs)).all()
     assert float(jnp.abs(gs).sum()) > 0
+
+
+def test_cnn_to_vit_loss_parity():
+    """CNN-to-ViT mode (reference: teacher.py:184-191 + combined loss):
+    single teacher layer, uniform attention ones/N — full loss vs the
+    torch-formula oracle."""
+    rng = np.random.default_rng(31)
+    b, ns, nt, ds, dt, num_classes = 2, 9, 16, 16, 32, 10
+    p = 2
+    student = [
+        rng.standard_normal((b, ns, ds)).astype(np.float32) for _ in range(p)
+    ]
+    feats = rng.standard_normal((b, nt, dt)).astype(np.float32)
+    uniform_attn = np.full((b, 1, nt, nt), 1.0 / nt, np.float32)
+    proj_s = np.linalg.qr(rng.standard_normal((ds, ds)))[0].astype(np.float32)
+    proj_t = np.linalg.qr(rng.standard_normal((dt, ds)))[0].T.astype(np.float32)
+    log_temps = np.log(np.exp([1.0, 1.0]) - 1).astype(np.float32)
+    logits = rng.standard_normal((b, num_classes)).astype(np.float32)
+    targets = rng.integers(0, num_classes, b)
+
+    # oracle: selector over a single layer -> weights are trivially 1,
+    # mixed == features; loss = UW-SO(ce, mean_p procrustes)
+    geo_vals = []
+    for i in range(p):
+        tk = torch.from_numpy(feats)
+        aligned = (
+            F.interpolate(
+                tk.transpose(1, 2), size=ns, mode="linear", align_corners=False
+            ).transpose(1, 2).numpy()
+        )
+        geo_vals.append(
+            procrustes_oracle(student[i], aligned, uniform_attn, False)
+        )
+    ce_ref = smoothed_ce_oracle(logits, targets, 0.1)
+    loss_ref = uwso_oracle([ce_ref, float(np.mean(geo_vals))])
+
+    cfg = BASDLossConfig(
+        student_dim=ds,
+        teacher_dim=dt,
+        student_depth=12,
+        num_student_tokens=ns,
+        num_extraction_points=p,
+        label_smoothing=0.1,
+        teacher_has_cls_token=False,
+        backend="svd",
+    )
+    params = {"log_temperatures": jnp.asarray(log_temps)}
+    buffers = {"proj_s": jnp.asarray(proj_s), "proj_t": jnp.asarray(proj_t)}
+    st = jnp.stack([jnp.asarray(s) for s in student])
+    tt = jnp.asarray(feats)[None]  # (1, B, N, D)
+    t_imp = jnp.full((1, b, nt), 1.0 / nt, jnp.float32)  # uniform importance
+
+    loss, aux = basd_loss(
+        params, buffers, jnp.asarray(logits), jnp.asarray(targets),
+        st, tt, t_imp, cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["mix_weights"]), np.ones((p, 1)), atol=1e-6
+    )
+    np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-3, atol=1e-4)

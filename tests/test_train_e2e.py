@@ -224,3 +224,72 @@ def test_cnn_to_vit_distillation(tmp_path):
     source = SyntheticSource("synthetic/tiny")
     metrics = trainer.train_epoch(source, epoch=0)
     assert np.isfinite(metrics["train_loss"])
+
+
+def test_eval_suite_with_robustness_subset(tmp_path):
+    """run_eval_suite over primary + a class-remapped robustness subset
+    (the reference's ImageNet-A pattern: metrics.py:116-137)."""
+    from basd_tpu.evaluation.metrics import run_eval_suite, save_metrics
+
+    mesh = make_mesh(data=1)
+    cfg = tiny_config(tmp_path)
+    cfg.data.eval_datasets = ["synthetic/tiny_subset"]
+
+    student = create_model(
+        "deit_tiny_patch16_224",
+        img_size=32,
+        num_classes=10,
+        arch_overrides=dict(embed_dim=48, depth=2, num_heads=2, mlp_ratio=2.0),
+        dtype=jnp.bfloat16,
+    )
+    s_vars = init_model(student, jax.random.PRNGKey(0), 32)
+    apply_fn = lambda p, x: student.module.apply(
+        {"params": p}, x, deterministic=True
+    )["logits"]
+    results = run_eval_suite(
+        apply_fn,
+        s_vars["params"],
+        cfg,
+        mesh=mesh,
+        config_path="cfg.yaml",
+        efficiency_batches=2,
+    )
+    assert results["primary"]["dataset"] == "synthetic/tiny"
+    rob = results["robustness"]["synthetic/tiny_subset"]
+    assert 0.0 <= rob["val_acc"] <= 100.0
+    assert np.isfinite(rob["loss"])
+    path = save_metrics(results, tmp_path)
+    assert path.exists()
+
+
+def test_eval_cli_roundtrip(tmp_path):
+    """basd-eval consumes weights exported by the trainer."""
+    from basd_tpu import eval as eval_cli
+
+    mesh = make_mesh(data=1)
+    trainer, cfg = build_tiny_trainer(tmp_path, mesh)
+    source = SyntheticSource("synthetic/tiny")
+    trainer.train_epoch(source, epoch=0)
+    trainer.save_weights("best_model_weights", epoch=0)
+
+    weights = tmp_path / "tiny/checkpoints/best_model_weights"
+    eval_cli.main(
+        [
+            "experiment=smoke_synthetic",
+            f"run.output_dir={tmp_path}",
+            "run.name=eval_out",
+            "data.dataset=synthetic/tiny",
+            "model.num_classes=10",
+            "training.label_smoothing=0.1",
+            "+model.arch_overrides.embed_dim=48",
+            "+model.arch_overrides.depth=3",
+            "+model.arch_overrides.num_heads=2",
+            "+model.arch_overrides.mlp_ratio=2.0",
+            f"checkpoint.path={weights}",
+            "+data.limit_eval_batches=2",
+            "+eval.efficiency_batches=2",
+            "tpu.mesh.data=1",
+        ]
+    )
+    metrics = json.loads((tmp_path / "eval_out/metrics.json").read_text())
+    assert "primary" in metrics and "efficiency" in metrics
