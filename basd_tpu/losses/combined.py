@@ -9,7 +9,7 @@ alignment by 1-D interpolation, attention-weighted Procrustes per point
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

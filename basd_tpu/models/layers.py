@@ -31,20 +31,6 @@ from flax import linen as nn
 _HI = jax.lax.Precision.HIGHEST
 
 
-def fan_in_trunc_normal(scale: float = 2.0):
-    """Reference student init: trunc-normal with std = sqrt(2 / fan_in) for
-    Linear (reference: ``src/train.py:19-24``). torch's trunc_normal_
-    truncates at +/-2 *absolute*, a no-op for these small stds, so a plain
-    normal is faithful."""
-
-    def init(key, shape, dtype=jnp.float32):
-        fan_in = shape[0]
-        std = (scale / fan_in) ** 0.5
-        return std * jax.random.normal(key, shape, dtype)
-
-    return init
-
-
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm semantics: scale_by_keep)."""
 

@@ -11,7 +11,7 @@ block mirrors the reference's ``set_grad_checkpointing(True)``
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 import jax

@@ -16,10 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from basd_tpu.config import compose, register_resolvers, save_config
-from basd_tpu.data.sources import dataset_info, get_channel_stats, make_source
+from basd_tpu.data.sources import get_channel_stats, make_source
 from basd_tpu.evaluation.metrics import run_eval_suite, save_metrics
 from basd_tpu.models import (
-    apply_fan_in_init,
     create_model,
     derive_student_arch,
     estimate_intrinsic_dim,
