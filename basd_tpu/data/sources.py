@@ -220,20 +220,43 @@ class SyntheticSource:
 
 class HFSource:
     """HuggingFace-datasets source; host decodes + aspect-resizes to a
-    fixed square uint8 canvas, everything else happens on device."""
+    fixed square uint8 canvas, everything else happens on device.
 
-    def __init__(self, name: str):
-        from datasets import load_dataset
+    Arrow access is BATCHED: each batch is one ``ds[idx_list]`` query (a
+    single ``query_table`` on the arrow backend) instead of the per-item
+    ``ds[i]`` pattern, which is slow on real arrow datasets. JPEG decode +
+    resize fan out over ``num_workers`` threads (PIL decode and the native
+    resize core both release the GIL). Reference: ``src/data/datasets.py:
+    126-177`` (DataLoader with 8 persistent workers).
 
+    ``dataset``/``info`` may be injected for offline tests (an in-memory
+    ``datasets.Dataset`` exercises the same arrow path).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        *,
+        num_workers: int = 8,
+        dataset=None,
+        info: dict | None = None,
+    ):
         self.name = name
-        self.info = dataset_info(name)
-        self._load_dataset = load_dataset
+        self.num_workers = max(1, int(num_workers))
+        self.info = info if info is not None else dataset_info(name)
         self._splits: dict[str, object] = {}
+        if dataset is not None:
+            self._splits = {
+                self.info["train_split"]: dataset,
+                self.info["eval_split"]: dataset,
+            }
 
     def _split(self, split: str):
         real = self.info["train_split"] if split == "train" else self.info["eval_split"]
         if real not in self._splits:
-            self._splits[real] = self._load_dataset(
+            from datasets import load_dataset
+
+            self._splits[real] = load_dataset(
                 self.name, split=real, trust_remote_code=True
             )
         return self._splits[real]
@@ -244,15 +267,16 @@ class HFSource:
     def num_classes(self) -> int:
         return self.info["num_classes"]
 
-    def _decode(self, example, out_size: int) -> np.ndarray:
+    def _decode(self, img, out_size: int) -> np.ndarray:
         # aspect-preserving shorter-side resize then center crop, i.e.
         # torchvision Resize(out) + CenterCrop(out) semantics. The resize
         # runs in the native C++ core (basd_tpu/data/native) so a thin
         # host CPU can keep the TPU fed; PIL only decodes.
         from basd_tpu.data.native import resize_center_crop
 
-        img = example[self.info["image_key"]].convert("RGB")
-        return resize_center_crop(np.asarray(img, np.uint8), out_size)
+        return resize_center_crop(
+            np.asarray(img.convert("RGB"), np.uint8), out_size
+        )
 
     def load_batches(
         self,
@@ -272,24 +296,26 @@ class HFSource:
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         end = (n // batch_size) * batch_size if drop_last else n
+        image_key = self.info["image_key"]
         label_key = self.info["label_key"]
 
-        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for start in range(0, end, batch_size):
                 idx = [int(i) for i in order[start : start + batch_size]]
-                examples = [ds[i] for i in idx]
+                batch = ds[idx]  # ONE batched arrow query
                 imgs = list(
-                    pool.map(lambda ex: self._decode(ex, out_size), examples)
+                    pool.map(
+                        lambda im: self._decode(im, out_size),
+                        batch[image_key],
+                    )
                 )
                 yield {
                     "image": np.stack(imgs),
-                    "label": np.asarray(
-                        [ex[label_key] for ex in examples], np.int32
-                    ),
+                    "label": np.asarray(batch[label_key], np.int32),
                 }
 
 
-def make_source(name: str, source_kind: str = "hf"):
+def make_source(name: str, source_kind: str = "hf", *, num_workers: int = 8):
     if is_synthetic(name) or source_kind == "synthetic":
         return SyntheticSource(name)
-    return HFSource(name)
+    return HFSource(name, num_workers=num_workers)

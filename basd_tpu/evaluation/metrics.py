@@ -125,10 +125,37 @@ def measure_efficiency(
     gflops = float(cost.get("flops", 0.0)) / 1e9
 
     xb = jnp.zeros((batch_size, img_size, img_size, in_channels), jnp.bfloat16)
-    out = None
-    for _ in range(num_warmup):
-        out = fwd(params, xb)
-    jax.block_until_ready(out)
+
+    # Chained timing: the N timed forwards run as ONE on-device lax.scan
+    # whose carry accumulates a scalar of each iteration's logits, so every
+    # forward is live and strictly sequenced on device. Independent
+    # dispatches time the host/tunnel round-trip, not the chip (the
+    # reference's pattern at ``metrics.py:79-90`` is fine locally but lies
+    # through a remote-dispatch tunnel).
+    def run_n(n: int):
+        @jax.jit
+        def chained(params, x):
+            def body(carry, _):
+                acc, xi = carry
+                out = apply_fn(params, xi)
+                acc = acc + jnp.sum(out[0]).astype(jnp.float32)
+                # data-dependent (but numerically zero in bf16) feedback
+                # into the next input: stops XLA hoisting the loop-invariant
+                # forward out of the scan.
+                xi = xi + (acc * jnp.float32(1e-38)).astype(xi.dtype)
+                return (acc, xi), None
+
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), x), None, length=n
+            )
+            return acc
+
+        return chained
+
+    warm = run_n(max(1, min(num_warmup, 5)))
+    jax.block_until_ready(warm(params, xb))
+    timed = run_n(num_batches)
+    jax.block_until_ready(timed(params, xb))  # compile before timing
     import contextlib
 
     trace_cm = (
@@ -136,9 +163,7 @@ def measure_efficiency(
     )
     with trace_cm:
         start = time.perf_counter()
-        for _ in range(num_batches):
-            out = fwd(params, xb)
-        jax.block_until_ready(out)
+        jax.block_until_ready(timed(params, xb))
         elapsed = time.perf_counter() - start
     return {
         "param_count": param_count,

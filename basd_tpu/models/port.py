@@ -239,6 +239,11 @@ def port_torch_checkpoint(path: str, bundle, variables: dict) -> dict:
             bundle.cfg.layerscale_init is not None,
             target_tokens=bundle.cfg.num_tokens,
         )
+        # headless teachers (num_classes=0, the reference's
+        # ``timm.create_model(num_classes=0)`` at ``teacher.py:118``) drop
+        # the checkpoint's classification head.
+        if "head" in params and "head" not in variables["params"]:
+            del params["head"]
         new_vars = {**variables, "params": params}
     elif kind == "ConvNeXtV2":
         params, _ = convnext_params_from_torch(sd, bundle.cfg.depths)

@@ -41,6 +41,23 @@ _VIT_PRESETS: dict[str, dict] = {
                           mlp_ratio=4.0, patch_size=14, layerscale_init=1e-5),
     "dinov2_vitl14": dict(embed_dim=1024, depth=24, num_heads=16,
                           mlp_ratio=4.0, patch_size=14, layerscale_init=1e-5),
+    "dinov2_vits14": dict(embed_dim=384, depth=12, num_heads=6,
+                          mlp_ratio=4.0, patch_size=14, layerscale_init=1e-5),
+    # common timm ViT presets (same trunk family as DeiT; timm names)
+    "vit_small_patch16_224": dict(embed_dim=384, depth=12, num_heads=6,
+                                  mlp_ratio=4.0, patch_size=16),
+    "vit_base_patch16_224": dict(embed_dim=768, depth=12, num_heads=12,
+                                 mlp_ratio=4.0, patch_size=16),
+    # DeiT-III family (Touvron et al. 2022): LayerScale init 1e-6
+    "deit3_small_patch16_224": dict(embed_dim=384, depth=12, num_heads=6,
+                                    mlp_ratio=4.0, patch_size=16,
+                                    layerscale_init=1e-6),
+    "deit3_base_patch16_224": dict(embed_dim=768, depth=12, num_heads=12,
+                                   mlp_ratio=4.0, patch_size=16,
+                                   layerscale_init=1e-6),
+    "deit3_large_patch16_224": dict(embed_dim=1024, depth=24, num_heads=16,
+                                    mlp_ratio=4.0, patch_size=16,
+                                    layerscale_init=1e-6),
 }
 
 _CNN_PRESETS: dict[str, dict] = {
@@ -149,8 +166,31 @@ def create_model(
             ccfg = ResNetConfig(name=name, **preset)
             module = ResNet(ccfg, dtype=dtype)
         return ModelBundle(name, module, ccfg, _cnn_info(name, ccfg, img_size))
+    # Unlisted name: build a custom ViT from explicit arch kwargs. This is
+    # the registry's replacement for the reference's universal
+    # ``probe_model`` reflection (``src/models/teacher.py:42-110``) — any
+    # ViT-shaped model can be declared by its architecture facts instead of
+    # runtime-probing a torch module.
+    ov = dict(arch_overrides or {})
+    required = ("embed_dim", "depth", "num_heads")
+    if all(k in ov for k in required):
+        cfg = ViTConfig(
+            img_size=img_size,
+            patch_size=int(ov.pop("patch_size", 16)),
+            num_classes=num_classes,
+            drop_path_rate=drop_path_rate,
+            layerscale_init=ov.pop("layerscale_init", None),
+            name=name,
+            mlp_ratio=float(ov.pop("mlp_ratio", 4.0)),
+            **{k: ov[k] for k in ov},
+        )
+        module = VisionTransformer(
+            cfg, importance_mode=importance_mode, remat=remat, dtype=dtype
+        )
+        return ModelBundle(name, module, cfg, _vit_info(cfg))
     raise KeyError(
-        f"unknown model preset {name!r}; available: {available_models()}"
+        f"unknown model preset {name!r} (and arch_overrides lacks "
+        f"{required} for a custom ViT); available: {available_models()}"
     )
 
 

@@ -166,3 +166,52 @@ def test_native_resize_upscale_and_square():
 def test_subset_indices_for_robustness_fixture():
     idx = get_subset_indices("synthetic/tiny_subset", "synthetic/tiny")
     assert idx == (2, 5, 7, 9)
+
+
+# ------------------------------------------------------- manifest port
+
+
+def _manifest_state_dict(name):
+    """Synthetic state dict with EXACTLY the key names + shapes of the real
+    checkpoint (manifests transcribed from timm 1.0.24 / dinov2 hub /
+    torchvision layouts; see scripts/make_manifests.py)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).parent / "fixtures" / "manifests" / f"{name}.json"
+    manifest = json.loads(path.read_text())
+    gen = torch.Generator().manual_seed(0)
+    sd = {}
+    for k, shape in manifest.items():
+        if not shape:
+            sd[k] = torch.tensor(1)
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(shape, generator=gen) + 0.5
+        else:
+            sd[k] = torch.randn(shape, generator=gen) * 0.02
+    return sd
+
+
+@pytest.mark.parametrize(
+    "name,img",
+    [
+        ("deit_tiny_patch16_224", 64),
+        ("dinov2_vitb14", 56),
+        ("convnextv2_tiny", 64),
+        ("resnet50", 64),
+    ],
+)
+def test_port_real_checkpoint_layout(name, img, tmp_path):
+    """Key-naming drift vs the real timm/dinov2/torchvision layouts is
+    exactly what the port breaks on (VERDICT r1 #9); this locks the
+    expected key set via vendored manifests."""
+    sd = _manifest_state_dict(name)
+    path = tmp_path / f"{name}.pth"
+    torch.save(sd, path)
+    bundle, variables = load_teacher(
+        name, img, checkpoint_path=str(path), dtype=jnp.float32
+    )
+    x = jnp.asarray(RNG.standard_normal((2, img, img, 3)), jnp.float32)
+    tokens, imp = teacher_extract(bundle, variables, x)
+    assert np.isfinite(np.asarray(tokens)).all()
+    assert np.isfinite(np.asarray(imp)).all()
