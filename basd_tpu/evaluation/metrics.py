@@ -152,10 +152,12 @@ def measure_efficiency(
 
         return chained
 
+    # time to the scalar FETCH: through remote-dispatch tunnels
+    # block_until_ready may not wait for device execution; fetching does.
     warm = run_n(max(1, min(num_warmup, 5)))
-    jax.block_until_ready(warm(params, xb))
+    float(warm(params, xb))
     timed = run_n(num_batches)
-    jax.block_until_ready(timed(params, xb))  # compile before timing
+    float(timed(params, xb))  # compile before timing
     import contextlib
 
     trace_cm = (
@@ -163,7 +165,7 @@ def measure_efficiency(
     )
     with trace_cm:
         start = time.perf_counter()
-        jax.block_until_ready(timed(params, xb))
+        float(timed(params, xb))
         elapsed = time.perf_counter() - start
     return {
         "param_count": param_count,
@@ -190,7 +192,8 @@ def run_eval_suite(
     primary_results: dict = {}
     robustness_results: dict = {}
     for ds_name in datasets_to_eval:
-        source = make_source(ds_name, config.data.get("source", "hf"))
+        source = make_source(ds_name, config.data.get("source", "hf"),
+                             num_workers=config.data.get("num_workers", 8))
         valid_indices = get_subset_indices(ds_name, config.data.dataset)
         num_classes = (
             len(valid_indices) if valid_indices is not None else primary_num_classes

@@ -66,7 +66,8 @@ def main(argv: list[str] | None = None) -> None:
     # (reference: src/train.py:88-114)
     arch_overrides = None
     if teacher_bundle.info["feature_format"] == "token":
-        source = make_source(config.data.dataset, config.data.get("source", "hf"))
+        source = make_source(config.data.dataset, config.data.get("source", "hf"),
+                         num_workers=config.data.get("num_workers", 8))
         tokens_per_image = (img_size // config.model.vit.patch_size) ** 2
         num_calib = -(-10 * teacher_bundle.info["embed_dim"] // tokens_per_image)
         r = round(img_size / config.data.eval_crop_ratio)
@@ -117,7 +118,8 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     dataset_stats = get_channel_stats(config.data.dataset)
-    source = make_source(config.data.dataset, config.data.get("source", "hf"))
+    source = make_source(config.data.dataset, config.data.get("source", "hf"),
+                         num_workers=config.data.get("num_workers", 8))
 
     trainer = Trainer(
         config,

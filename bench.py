@@ -131,7 +131,6 @@ def main() -> None:
             trainer.opt_state, trainer.teacher_vars, trainer.sel_buffers,
             sharded["image"], sharded["label"], sub,
         )
-    jax.block_until_ready(metrics["loss_sum"])
     print(
         f"bench: warmup+compile {time.perf_counter() - t_compile:.1f}s "
         f"loss={float(metrics['loss_sum']) / BATCH_SIZE:.4f}",
@@ -145,7 +144,9 @@ def main() -> None:
             trainer.opt_state, trainer.teacher_vars, trainer.sel_buffers,
             sharded["image"], sharded["label"], sub,
         )
-    jax.block_until_ready(metrics["loss_sum"])
+    # fetch a scalar: through the axon tunnel block_until_ready does not
+    # actually wait for device execution; a value fetch does.
+    final_loss = float(metrics["loss_sum"])
     elapsed = time.perf_counter() - t0
 
     img_per_sec = BATCH_SIZE * TIMED_STEPS / elapsed

@@ -215,3 +215,51 @@ def test_port_real_checkpoint_layout(name, img, tmp_path):
     tokens, imp = teacher_extract(bundle, variables, x)
     assert np.isfinite(np.asarray(tokens)).all()
     assert np.isfinite(np.asarray(imp)).all()
+
+
+def test_hf_source_batched_arrow_access():
+    """HFSource's batched arrow path (one ds[idx_list] query per batch +
+    threaded decode) exercised offline via an in-memory datasets.Dataset —
+    the same arrow backend a real HF ImageNet uses (reference:
+    src/data/datasets.py:126-177)."""
+    datasets = pytest.importorskip("datasets")
+    from PIL import Image as PILImage
+
+    from basd_tpu.data.sources import HFSource
+
+    n = 37
+    rng = np.random.default_rng(5)
+    imgs = [
+        PILImage.fromarray(rng.integers(0, 256, (52, 44, 3), dtype=np.uint8))
+        for _ in range(n)
+    ]
+    labels = rng.integers(0, 5, (n,)).tolist()
+    ds = datasets.Dataset.from_dict({"img": imgs, "label": labels})
+    ds = ds.cast_column("img", datasets.Image())
+
+    info = {
+        "image_key": "img",
+        "label_key": "label",
+        "num_classes": 5,
+        "class_names": tuple(f"c{i}" for i in range(5)),
+        "train_split": "train",
+        "eval_split": "train",
+    }
+    src = HFSource("inmem", num_workers=2, dataset=ds, info=info)
+    assert src.split_size("train") == n
+
+    batches = list(
+        src.load_batches("train", 16, 32, shuffle=True, seed=3, drop_last=False)
+    )
+    assert [b["image"].shape[0] for b in batches] == [16, 16, 5]
+    assert all(b["image"].shape[1:] == (32, 32, 3) for b in batches)
+    assert all(b["image"].dtype == np.uint8 for b in batches)
+    # labels permuted, not lost
+    got = np.sort(np.concatenate([b["label"] for b in batches]))
+    np.testing.assert_array_equal(got, np.sort(np.asarray(labels)))
+
+    # determinism of the shuffled order
+    again = list(
+        src.load_batches("train", 16, 32, shuffle=True, seed=3, drop_last=False)
+    )
+    np.testing.assert_array_equal(batches[0]["image"], again[0]["image"])
