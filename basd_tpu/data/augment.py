@@ -269,17 +269,14 @@ def trivial_augment_wide(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
 #     rounds independently (<= 1px deviation from the exact map).
 
 
-_SHIFT_MARGIN = 128  # covers max |shift|: shear 0.99*(W/2)=111, rot <=112
-
-
 def _barrel_shift(x: jnp.ndarray, s: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """out[..., j, ...] = x[..., j + s, ...] along ``axis`` (no wrap for
-    j + s < size), where ``s`` >= 0 varies over the OTHER spatial axis.
+    """out[..., j, ...] = x[..., (j + s) mod size, ...] along ``axis``,
+    where ``s`` in [0, size) varies over the OTHER spatial axis.
 
     Logarithmic barrel shifter: log2 passes of static roll + select —
     full-tensor vector ops (per-pixel gathers measured 170 ms/step and
     per-row dynamic slices ~1 s/step for this workload on v5e; this
-    cascade is bandwidth-bound at ~10 passes over the tensor).
+    cascade is bandwidth-bound at ~log2(size) passes over the tensor).
     """
     size = x.shape[axis]
     bits = max(1, int(size - 1).bit_length())
@@ -300,29 +297,40 @@ def _shift_rows(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
     x: (G, H, W, C); r: (G, H) int32. Channels fold into batch so the
     shifted axis is minor (a trailing C=3 axis would be tile-padded to
-    128 lanes — 42x memory blowup, observed as an OOM)."""
+    128 lanes — 42x memory blowup, observed as an OOM).
+
+    The shift runs with WRAPAROUND on the unpadded width (8 roll+select
+    passes on W=224) and the wrapped-in pixels are zeroed by one iota
+    mask afterwards — 2.1x less traffic than the earlier zero-padded
+    cascade (9 passes on W + 2*128)."""
     g, h, w, c = x.shape
-    k = _SHIFT_MARGIN
     # bf16 cascade: pixel values are integers in [0, 255], exactly
-    # representable in bf16 — halves the bandwidth of the ~10 roll+select
+    # representable in bf16 — halves the bandwidth of the roll+select
     # passes.
     xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w).astype(jnp.bfloat16)
-    padded = jnp.pad(xc, ((0, 0), (0, 0), (k, k)))
-    s = jnp.clip(k - r, 0, 2 * k)
-    s = jnp.broadcast_to(s[:, None, :], (g, c, h)).reshape(g * c, h)
-    out = _barrel_shift(padded, s, axis=-1)[..., :w]
+    s = jnp.mod(-r, w)  # (G, H)
+    sb = jnp.broadcast_to(s[:, None, :], (g, c, h)).reshape(g * c, h)
+    out = _barrel_shift(xc, sb, axis=-1)
+    jj = jnp.arange(w, dtype=jnp.int32)
+    valid = (jj >= r[:, :, None]) & (jj < w + r[:, :, None])  # (G, H, W)
+    validc = jnp.broadcast_to(valid[:, None], (g, c, h, w)).reshape(g * c, h, w)
+    out = jnp.where(validc, out, jnp.bfloat16(0))
     return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1).astype(x.dtype)
 
 
 def _shift_cols(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """out[g, y, x] = x_in[g, y - r[g, x], x] with zero fill."""
     g, h, w, c = x.shape
-    k = _SHIFT_MARGIN
     xc = jnp.moveaxis(x, -1, 1).reshape(g * c, h, w).astype(jnp.bfloat16)
-    padded = jnp.pad(xc, ((0, 0), (k, k), (0, 0)))
-    s = jnp.clip(k - r, 0, 2 * k)
-    s = jnp.broadcast_to(s[:, None, :], (g, c, w)).reshape(g * c, w)
-    out = _barrel_shift(padded, s, axis=-2)[:, :h, :]
+    s = jnp.mod(-r, h)  # (G, W)
+    sb = jnp.broadcast_to(s[:, None, :], (g, c, w)).reshape(g * c, w)
+    out = _barrel_shift(xc, sb, axis=-2)
+    yy = jnp.arange(h, dtype=jnp.int32)
+    valid = (yy[:, None] >= r[:, None, :]) & (
+        yy[:, None] < h + r[:, None, :]
+    )  # (G, H, W)
+    validc = jnp.broadcast_to(valid[:, None], (g, c, h, w)).reshape(g * c, h, w)
+    out = jnp.where(validc, out, jnp.bfloat16(0))
     return jnp.moveaxis(out.reshape(g, c, h, w), 1, -1).astype(x.dtype)
 
 

@@ -76,6 +76,10 @@ class Attention(nn.Module):
     num_heads: int
     importance_mode: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # 'auto': fused Pallas flash attention on TPU, einsum elsewhere;
+    # 'flash' / 'einsum' force a path. 'mean' importance always uses
+    # einsum (it needs the full probability tensor).
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -114,11 +118,24 @@ class Attention(nn.Module):
                 ).astype(jnp.float32) * scale
                 cls_probs = jax.nn.softmax(cls_logits, axis=-1)
                 importance = jnp.mean(cls_probs[..., 1:], axis=1)  # (B, N-1)
-            scores = jnp.einsum("bqhe,bkhe->bhqk", q, k) * scale
-            probs = jax.nn.softmax(
-                scores.astype(jnp.float32), axis=-1
-            ).astype(self.dtype)
-            out = jnp.einsum("bhqk,bkhe->bqhe", probs, v)
+            impl = self.attention_impl
+            if impl == "auto":
+                impl = (
+                    "flash" if jax.default_backend() == "tpu" else "einsum"
+                )
+            if impl == "flash":
+                from basd_tpu.ops.pallas.flash_attention import flash_attention
+
+                out = flash_attention(
+                    q, k, v, float(scale),
+                    jax.default_backend() != "tpu",
+                )
+            else:
+                scores = jnp.einsum("bqhe,bkhe->bhqk", q, k) * scale
+                probs = jax.nn.softmax(
+                    scores.astype(jnp.float32), axis=-1
+                ).astype(self.dtype)
+                out = jnp.einsum("bhqk,bkhe->bqhe", probs, v)
 
         out = out.reshape(b, n, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
@@ -148,16 +165,28 @@ class Block(nn.Module):
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
+    attention_impl: str = "auto"
+    # keep XLA from fusing the LayerNorm statistic reductions into the
+    # producer matmul's epilogue (experiment flag; see scripts/bench_parts)
+    ln_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, drop_path_rate):
         d = x.shape[-1]
+
+        def _ln(x, name):
+            if self.ln_barrier:
+                x = jax.lax.optimization_barrier(x)
+            return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                                name=name)(x)
+
         y, importance = Attention(
             self.num_heads,
             importance_mode=self.importance_mode,
             dtype=self.dtype,
+            attention_impl=self.attention_impl,
             name="attn",
-        )(nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x))
+        )(_ln(x, "norm1"))
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name="ls1")(y)
         x = x + DropPath(
@@ -166,7 +195,7 @@ class Block(nn.Module):
 
         y = Mlp(
             int(d * self.mlp_ratio), d, dtype=self.dtype, name="mlp"
-        )(nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x))
+        )(_ln(x, "norm2"))
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name="ls2")(y)
         x = x + DropPath(

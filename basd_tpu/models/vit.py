@@ -72,6 +72,8 @@ class VisionTransformer(nn.Module):
     # (scan carries forced batch-minor relayouts, traced ~40ms/step);
     # compile time rises accordingly.
     unroll: int = 12
+    ln_barrier: bool = False
+    attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +124,8 @@ class VisionTransformer(nn.Module):
             deterministic=deterministic,
             dtype=self.dtype,
             norm_eps=cfg.norm_eps,
+            ln_barrier=self.ln_barrier,
+            attention_impl=self.attention_impl,
             name="blocks",
         )
         x, (tokens, importance) = blocks(x, rates)

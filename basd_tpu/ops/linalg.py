@@ -251,13 +251,19 @@ def newton_schulz_polar(
         return y.astype(inner_dtype)
 
     def quintic(x, a, b, c):
+        # every intermediate that hits HBM stays in inner_dtype (the f32
+        # matmul accumulators convert in the epilogue — XLA fuses the
+        # casts), halving the Gram-chain bandwidth; the polar iteration is
+        # a contraction toward sigma=1, so bf16 ripple here is absorbed by
+        # the later steps and the final cubic cleanup.
         g = jnp.einsum("...ij,...kj->...ik", x, x, precision=prec,
-                       preferred_element_type=jnp.float32)
-        gl = g.astype(inner_dtype)
-        g2 = jnp.einsum("...ij,...kj->...ik", gl, gl, precision=prec,
-                        preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).astype(inner_dtype)
+        g2 = jnp.einsum("...ij,...kj->...ik", g, g, precision=prec,
+                        preferred_element_type=jnp.float32).astype(inner_dtype)
+        h = (jnp.float32(b) * g.astype(jnp.float32)
+             + jnp.float32(c) * g2.astype(jnp.float32)).astype(inner_dtype)
         y = a * x.astype(jnp.float32) + jnp.einsum(
-            "...ik,...kj->...ij", (b * g + c * g2).astype(inner_dtype), x,
+            "...ik,...kj->...ij", h, x,
             precision=prec, preferred_element_type=jnp.float32,
         )
         return y.astype(inner_dtype)

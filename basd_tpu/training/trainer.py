@@ -123,7 +123,10 @@ class Trainer:
         t_stats = self.teacher_stats
         num_classes = self.num_classes
         num_shards = self.mesh.shape["data"]
-        extraction_idx = jnp.asarray(self.token_layers)
+        # static per-layer slices (a traced index array would lower the
+        # extraction gather's backward to a scatter-add over the full
+        # (L, B, N, D) stack — traced ~3 ms/step)
+        extraction_layers = tuple(self.token_layers)
 
         def step(opt_state, teacher_vars, sel_buffers, images_u8, labels, rng):
             k_view, k_mix, k_drop = jax.random.split(rng, 3)
@@ -147,7 +150,9 @@ class Trainer:
                     deterministic=False,
                     rngs={"droppath": k_drop},
                 )
-                s_int = out["tokens"][extraction_idx]  # (P, B, N, D)
+                s_int = jnp.stack(
+                    [out["tokens"][i] for i in extraction_layers]
+                )  # (P, B, N, D)
                 loss, aux = basd_loss(
                     trainable["basd"],
                     sel_buffers,

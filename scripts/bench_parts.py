@@ -1,0 +1,163 @@
+"""Chained component timings of the BASD train step on the real TPU.
+
+Each part compiles as ONE jitted lax.scan whose carry feeds the next
+iteration, timed to a scalar value fetch (the only honest timing through
+the axon remote-dispatch tunnel — see CLAUDE.md).
+
+Usage: python scripts/bench_parts.py [part ...]
+  parts: teacher teacher_barrier student_fwd student_step views
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 20
+B = 512
+IMG = 224
+
+
+def chained_time(fn, *args, iters=ITERS):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(args):
+        def body(carry, _):
+            acc, a = carry
+            out = fn(*a)
+            s = sum(
+                jnp.sum(o).astype(jnp.float32)
+                for o in jax.tree_util.tree_leaves(out)
+            )
+            acc = acc + s
+            eps = acc * jnp.float32(1e-38)
+            a = tuple(
+                x + eps.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+                else x
+                for x in a
+            )
+            return (acc, a), None
+
+        (acc, _), _ = jax.lax.scan(body, (jnp.float32(0.0), args), None,
+                                   length=iters)
+        return acc
+
+    t0 = time.perf_counter()
+    float(loop(args))  # compile + run once
+    print(f"    (compile+first: {time.perf_counter() - t0:.1f}s)",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    float(loop(args))
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def _teacher(barrier: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from basd_tpu.models import create_model, init_model
+    from basd_tpu.models.registry import teacher_extract
+
+    bundle = create_model(
+        "deit_small_patch16_224", img_size=IMG, num_classes=0,
+        importance_mode="cls", dtype=jnp.bfloat16,
+    )
+    if barrier:
+        bundle = type(bundle)(
+            bundle.name, bundle.module.clone(ln_barrier=True), bundle.cfg,
+            bundle.info, bundle.mean, bundle.std,
+        )
+    variables = init_model(bundle, jax.random.PRNGKey(0), IMG)
+    x = jnp.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (B, IMG, IMG, 3)),
+        jnp.bfloat16,
+    )
+
+    def fwd(x):
+        t, imp = teacher_extract(bundle, variables, x)
+        return t.astype(jnp.float32).mean(), imp.mean()
+
+    ms = chained_time(fwd, x)
+    tag = "teacher_barrier" if barrier else "teacher"
+    print(f"{tag:16s}: {ms:8.2f} ms/fwd (B={B})")
+
+
+def bench_teacher():
+    _teacher(False)
+
+
+def bench_teacher_barrier():
+    _teacher(True)
+
+
+def bench_student_fwd():
+    import jax
+    import jax.numpy as jnp
+
+    from basd_tpu.models import create_model, init_model
+
+    bundle = create_model(
+        "deit_tiny_patch16_224", img_size=IMG, num_classes=1000,
+        drop_path_rate=0.1, remat=True, dtype=jnp.bfloat16,
+    )
+    variables = init_model(bundle, jax.random.PRNGKey(0), IMG)
+    x = jnp.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (B, IMG, IMG, 3)),
+        jnp.bfloat16,
+    )
+
+    def fwd(x):
+        out = bundle.module.apply(variables, x, deterministic=True)
+        return (out["logits"].astype(jnp.float32).mean(),
+                out["tokens"].astype(jnp.float32).mean())
+
+    ms = chained_time(fwd, x)
+    print(f"student_fwd     : {ms:8.2f} ms/fwd (B={B})")
+
+
+def bench_views():
+    import jax
+    import jax.numpy as jnp
+
+    from basd_tpu.data import augment as aug
+
+    r = round(IMG / 0.875)
+    imgs = jax.random.randint(
+        jax.random.PRNGKey(0), (B, r, r, 3), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+    stats = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+
+    def views(key_f):
+        key = jax.random.PRNGKey(0)
+        key = jax.random.fold_in(key, (key_f * 1e9).astype(jnp.int32))
+        clean, augd = aug.make_train_views(key, imgs, IMG, stats, stats)
+        return clean.mean(), augd.mean()
+
+    ms = chained_time(views, jax.numpy.float32(1.0))
+    print(f"views           : {ms:8.2f} ms (B={B})")
+
+
+PARTS = {
+    "teacher": bench_teacher,
+    "teacher_barrier": bench_teacher_barrier,
+    "student_fwd": bench_student_fwd,
+    "views": bench_views,
+}
+
+
+def main():
+    import jax
+
+    print(f"platform={jax.default_backend()}", file=sys.stderr)
+    names = sys.argv[1:] or list(PARTS)
+    for n in names:
+        PARTS[n]()
+
+
+if __name__ == "__main__":
+    main()
