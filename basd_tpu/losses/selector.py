@@ -134,44 +134,49 @@ def select_and_mix(
     r_cap = min(cfg.max_rank or d_s, d_s)
 
     if cfg.backend in ("gram", "jacobi") and z_t.shape[1] >= d_s:
-        # fused TPU path: ONE batched eigendecomposition covers the MP-rank
-        # covariances (uncentered, no-grad), the teacher subspaces
-        # (centered, no-grad), and the student bases (centered,
-        # differentiable) — 3 XLA custom-calls collapse to 1.
-        from basd_tpu.ops.linalg import HI, _safe_sqrt, safe_eigh
+        # fused TPU path: ONE batched eigendecomposition covers the
+        # teacher subspaces (centered, no-grad) and the student bases
+        # (centered, differentiable). The MP-rank covariance spectra are
+        # recovered from the teacher Gram spectra by a rank-one secular
+        # update (Z^T Z = Gram_c + M mu mu^T) — elementwise bisection, no
+        # extra eigh batch (see ops.linalg.rank_one_update_eigvals).
+        from basd_tpu.ops.linalg import (
+            HI,
+            _safe_sqrt,
+            rank_one_update_eigvals,
+            safe_eigh,
+        )
 
         m_t = z_t.shape[1]
-        cov_t = (
-            jnp.einsum("lmi,lmj->lij", z_t, z_t, precision=HI) / m_t
-        )
-        z_tc = z_t - jnp.mean(z_t, axis=1, keepdims=True)
+        mu_t = jnp.mean(z_t, axis=1)  # (L, D)
+        z_tc = z_t - mu_t[:, None, :]
         gram_tc = jnp.einsum("lmi,lmj->lij", z_tc, z_tc, precision=HI)
         z_sc = z_s - jnp.mean(z_s, axis=1, keepdims=True)
         gram_sc = jnp.einsum("pmi,pmj->pij", z_sc, z_sc, precision=HI)
 
         stacked = jnp.concatenate(
-            [
-                jax.lax.stop_gradient(cov_t),
-                jax.lax.stop_gradient(gram_tc),
-                gram_sc,
-            ],
-            axis=0,
+            [jax.lax.stop_gradient(gram_tc), gram_sc], axis=0
         )
         impl = "jacobi" if cfg.backend == "jacobi" else "xla"
         w_all, v_all = safe_eigh(stacked, impl)  # ascending
 
         # MP rank from the covariance spectra (reference: torch-style
         # median = lower middle element; q = D / M)
-        w_cov = w_all[:L]
+        w_t_asc = jax.lax.stop_gradient(w_all[:L])
+        c_t = jnp.einsum(
+            "lds,ld->ls", jax.lax.stop_gradient(v_all[:L]), mu_t,
+            precision=HI,
+        )  # V^T mu, per eigencolumn
+        w_cov = rank_one_update_eigvals(w_t_asc, c_t, float(m_t)) / m_t
         sigma2 = w_cov[:, (d_s - 1) // 2]
         lam_plus = sigma2 * (1.0 + (d_s / m_t) ** 0.5) ** 2
         ranks = jnp.sum(w_cov > lam_plus[:, None], axis=-1).astype(jnp.int32)
         ranks = jnp.minimum(ranks, min(d_s - 1, r_cap))
 
-        w_t = w_all[L : 2 * L, ::-1]
-        basis_t = v_all[L : 2 * L, :, ::-1][:, :, :r_cap]
+        w_t = w_all[:L, ::-1]
+        basis_t = v_all[:L, :, ::-1][:, :, :r_cap]
         svals_t = _safe_sqrt(w_t)[:, :r_cap]
-        basis_s = v_all[2 * L :, :, ::-1][:, :, :r_cap]
+        basis_s = v_all[L:, :, ::-1][:, :, :r_cap]
     else:
         rank_impl = "jacobi" if cfg.backend == "jacobi" else "xla"
         ranks = jnp.minimum(

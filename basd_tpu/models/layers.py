@@ -8,8 +8,8 @@ jit-compilable (SURVEY.md §3.5).
 
 TPU-first details:
 
-- patch embedding is a rearrange + matmul (exactly equal to stride=kernel
-  conv, but lands directly on the MXU);
+- patch embedding is a real stride-p convolution (a layout firewall:
+  see ``PatchEmbed``);
 - attention uses one fused qkv projection; when a CLS token exists, the
   distillation importance (CLS attention row, head-mean — reference
   ``src/losses/relational.py:24``) is computed from the q0 row alone, an
@@ -24,7 +24,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from einops import rearrange
 from flax import linen as nn
 
 # f32 accumulation for attention logits on TPU
@@ -109,7 +108,12 @@ class Attention(nn.Module):
                 "bhqk,bkhe->bqhe", probs.astype(self.dtype), v
             )
         else:
-            if self.importance_mode == "cls":
+            impl = self.attention_impl
+            if impl == "auto":
+                impl = (
+                    "flash" if jax.default_backend() == "tpu" else "einsum"
+                )
+            if self.importance_mode == "cls" and impl != "flash":
                 # CLS query row only: (B, H, N) logits -> softmax -> strip
                 # the CLS key and mean over heads (reference:
                 # src/losses/relational.py:24).
@@ -118,18 +122,22 @@ class Attention(nn.Module):
                 ).astype(jnp.float32) * scale
                 cls_probs = jax.nn.softmax(cls_logits, axis=-1)
                 importance = jnp.mean(cls_probs[..., 1:], axis=1)  # (B, N-1)
-            impl = self.attention_impl
-            if impl == "auto":
-                impl = (
-                    "flash" if jax.default_backend() == "tpu" else "einsum"
-                )
             if impl == "flash":
-                from basd_tpu.ops.pallas.flash_attention import flash_attention
-
-                out = flash_attention(
-                    q, k, v, float(scale),
-                    jax.default_backend() != "tpu",
+                from basd_tpu.ops.pallas.flash_attention import (
+                    flash_attention,
+                    flash_attention_with_importance,
                 )
+
+                interp = jax.default_backend() != "tpu"
+                if self.importance_mode == "cls":
+                    # frozen-teacher path (forward-only): importance is
+                    # the head-mean CLS softmax row from the same kernel
+                    out, imp_full = flash_attention_with_importance(
+                        q, k, v, float(scale), interp
+                    )
+                    importance = imp_full[:, 1:]  # strip the CLS key
+                else:
+                    out = flash_attention(q, k, v, float(scale), interp)
             else:
                 scores = jnp.einsum("bqhe,bkhe->bhqk", q, k) * scale
                 probs = jax.nn.softmax(
@@ -140,6 +148,50 @@ class Attention(nn.Module):
         out = out.reshape(b, n, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
         return out, importance
+
+
+class FusedLayerNorm(nn.Module):
+    """LayerNorm whose TPU path is the fused Pallas kernel.
+
+    Parameter pytree matches ``nn.LayerNorm`` ({scale, bias} at this
+    module's level); the off-TPU path reproduces flax's math exactly
+    (f32 fast-variance stats, f32 affine, cast to dtype). On TPU the
+    kernel is a layout firewall: the (B, N) statistic tensors a plain LN
+    materializes pull the whole residual stream into batch-in-lanes
+    layouts (see ``basd_tpu.ops.pallas.layernorm``).
+    """
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        impl = self.impl
+        if impl == "auto":
+            impl = "fused" if jax.default_backend() == "tpu" else "flax"
+        if impl == "fused" and x.ndim == 3:
+            from basd_tpu.ops.pallas.layernorm import fused_layernorm
+
+            return fused_layernorm(
+                x.astype(self.dtype),
+                scale.astype(jnp.float32),
+                bias.astype(jnp.float32),
+                float(self.epsilon),
+                jax.default_backend() != "tpu",
+            ).astype(self.dtype)
+        # flax.linen.LayerNorm-exact fallback (normalization.py:137-144,
+        # 203-227): f32 fast variance, f32 affine, cast to dtype
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        mu2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, mu2 - jnp.square(mu))
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        y = (xf - mu) * mul + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
 
 
 class LayerScale(nn.Module):
@@ -177,8 +229,8 @@ class Block(nn.Module):
         def _ln(x, name):
             if self.ln_barrier:
                 x = jax.lax.optimization_barrier(x)
-            return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
-                                name=name)(x)
+            return FusedLayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                                  name=name)(x)
 
         y, importance = Attention(
             self.num_heads,
@@ -211,7 +263,39 @@ class Block(nn.Module):
 
 
 class PatchEmbed(nn.Module):
-    """Patchify + linear projection (== stride-p conv, MXU-friendly)."""
+    """Patchify + linear projection as a stride-p convolution.
+
+    The parameter stays Dense-shaped (C*p*p, D) with rows in (c, dy, dx)
+    order, so ported torch conv weights (D, C, p, p) reshape directly and
+    checkpoints are layout-stable; it is reshaped to HWIO per call (a
+    0.3MB transpose XLA folds into the conv).
+
+    TPU note: this MUST be a real convolution, not rearrange+matmul. The
+    (B, S, S, 3) image input gets a batch-minor device layout (lanes of 3
+    would pad 42x), and XLA layout assignment propagates batch-minor
+    through a reshape/transpose patchify into the ENTIRE residual stream:
+    every Dense in every block then lowers to a windowed batch-in-lanes
+    VPU emitter (~3 ms vs ~0.6 ms on the MXU at B=512; traced 91 ms
+    teacher forward). A convolution is a layout firewall — its output
+    comes out feature-minor and the whole network stays on the MXU.
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = _PatchConv(
+            self.patch_size, self.embed_dim, dtype=self.dtype, name="proj"
+        )(x)
+        b, gh, gw, d = y.shape
+        return y.reshape(b, gh * gw, d)
+
+
+class _PatchConv(nn.Module):
+    """Stride-p conv whose parameter pytree matches the Dense it replaced
+    (``kernel`` (C*p*p, D) in (c, dy, dx) row order + ``bias`` (D,))."""
 
     patch_size: int
     embed_dim: int
@@ -220,9 +304,20 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.patch_size
-        # NHWC input; flatten each patch in (c, dy, dx) order so ported
-        # torch conv weights (D, C, p, p) reshape directly.
-        patches = rearrange(
-            x, "b (h p1) (w p2) c -> b (h w) (c p1 p2)", p1=p, p2=p
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (c * p * p, self.embed_dim),
         )
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(patches)
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        # (c p1 p2, D) -> HWIO (p1, p2, c, D)
+        hwio = kernel.reshape(c, p, p, self.embed_dim).transpose(1, 2, 0, 3)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            hwio.astype(self.dtype),
+            window_strides=(p, p),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from basd_tpu.models.layers import Block, PatchEmbed
+from basd_tpu.models.layers import Block, FusedLayerNorm, PatchEmbed
 
 
 @dataclass(frozen=True)
@@ -130,7 +130,9 @@ class VisionTransformer(nn.Module):
         )
         x, (tokens, importance) = blocks(x, rates)
 
-        x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype, name="norm")(x)
+        x = FusedLayerNorm(
+            epsilon=cfg.norm_eps, dtype=self.dtype, name="norm"
+        )(x)
         pooled = x[:, 0] if cfg.use_cls_token else jnp.mean(x, axis=1)
         logits = (
             nn.Dense(cfg.num_classes, dtype=self.dtype, name="head")(pooled)

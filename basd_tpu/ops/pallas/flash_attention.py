@@ -50,8 +50,9 @@ def _row_mask(x, n):
     return jnp.where(rows < n, x, jnp.zeros((), x.dtype))
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                *, n: int, h: int, e: int, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *imp_ref,
+                n: int, h: int, e: int, scale: float):
+    imp_acc = None
     for i in range(h):
         sl = slice(i * e, (i + 1) * e)
         q = _row_mask(q_ref[:, :, sl], n)
@@ -66,12 +67,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        pn = p / l
         o = jax.lax.dot_general(
-            (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            pn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
         lse_ref[:, i, :] = m[..., 0] + jnp.log(l[..., 0])
+        if imp_ref:
+            # head-mean of the CLS (row 0) attention distribution —
+            # the reference's distillation importance
+            # (src/losses/relational.py:22-24), CLS key stripped by the
+            # caller.
+            row0 = pn[:, 0, :]  # (G, NP)
+            imp_acc = row0 if imp_acc is None else imp_acc + row0
+    if imp_ref:
+        imp_ref[0][...] = imp_acc / h
 
 
 def _bwd_kernel(
@@ -136,26 +147,35 @@ def _specs(b, n, h, e, g):
     return qkv, lse
 
 
-def _fwd(q, k, v, scale, interpret):
+def _fwd(q, k, v, scale, interpret, with_importance=False):
     b, n, h, e = q.shape
     g = _pick_block_b(b)
     qkv_spec, lse_spec = _specs(b, n, h, e, g)
     kernel = functools.partial(_fwd_kernel, n=n, h=h, e=e, scale=scale)
-    o, lse = pl.pallas_call(
+    np_ = _pad128(n)
+    imp_spec = pl.BlockSpec((g, np_), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = (qkv_spec, lse_spec) + ((imp_spec,) if with_importance else ())
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, h * e), q.dtype),
+        jax.ShapeDtypeStruct((b, h, n), jnp.float32),
+    ) + ((jax.ShapeDtypeStruct((b, n), jnp.float32),) if with_importance else ())
+    outs = pl.pallas_call(
         kernel,
         grid=(b // g,),
         in_specs=[qkv_spec] * 3,
-        out_specs=(qkv_spec, lse_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n, h * e), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(q.reshape(b, n, h * e), k.reshape(b, n, h * e), v.reshape(b, n, h * e))
-    return o.reshape(b, n, h, e), lse
+    o, lse = outs[0], outs[1]
+    o = o.reshape(b, n, h, e)
+    if with_importance:
+        return o, lse, outs[2]
+    return o, lse
 
 
 def _bwd(q, k, v, o, do, lse, scale, interpret):
@@ -203,3 +223,17 @@ def _flash_bwd(scale, interpret, res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_with_importance(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: float, interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Attention output + head-mean CLS-row attention (B, N).
+
+    The importance vector includes the CLS key at index 0 (the caller
+    strips it, matching ``reduce_attention_importance``). Forward-only:
+    used by frozen-teacher extraction, so no VJP is defined.
+    """
+    o, _, imp = _fwd(q, k, v, scale, interpret, with_importance=True)
+    return o, imp

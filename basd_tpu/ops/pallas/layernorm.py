@@ -1,0 +1,169 @@
+"""Fused LayerNorm (Pallas, TPU) with custom VJP.
+
+Motivation: XLA's layout assignment prefers batch-in-lanes layouts for
+the (B, N) per-token statistic tensors a LayerNorm materializes (N=197
+pads to 256 lanes; B=512 doesn't), and that preference propagates into
+the whole residual stream — every Dense then lowers to a windowed
+batch-in-lanes VPU emitter instead of an MXU matmul (traced: 3.1 ms vs
+0.6 ms per fc2 at B=512 on v5e, 91 ms total teacher forward). This
+kernel is a layout firewall at every LN: inputs and outputs are
+row-major (B, N, D) slabs, statistics live only in VMEM (saved as f32
+(B, N) residuals for the backward, consumed only by the backward
+kernel).
+
+Math matches ``flax.linen.LayerNorm`` defaults: statistics in f32,
+biased variance, ``(x - mean) * rsqrt(var + eps) * scale + bias``, output
+cast back to the input dtype.
+
+Backward (standard LN VJP, per row):
+    g = dy * scale                        (f32)
+    dx = rstd * (g - mean(g) - x_hat * mean(g * x_hat))
+    dscale = sum_{B,N} dy * x_hat ; dbias = sum_{B,N} dy
+computed as per-program partials reduced outside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, mu_ref, rstd_ref,
+                *, n: int, eps: float):
+    x = x_ref[...].astype(jnp.float32)  # (G, NP, D)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    w = w_ref[0, :].astype(jnp.float32)
+    b = b_ref[0, :].astype(jnp.float32)
+    o_ref[...] = (xhat * w[None, None, :] + b[None, None, :]).astype(
+        o_ref.dtype
+    )
+    mu_ref[...] = mu[..., 0]
+    rstd_ref[...] = rstd[..., 0]
+
+
+def _bwd_kernel(x_ref, w_ref, mu_ref, rstd_ref, dy_ref,
+                dx_ref, dw_ref, db_ref, *, n: int):
+    x = x_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    # zero padded rows so the dw/db partials are exact
+    rows = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1)
+    dy = jnp.where(rows < n, dy, 0.0)
+    mu = mu_ref[...][..., None]
+    rstd = rstd_ref[...][..., None]
+    # padded-row stats are unspecified bits: zero everything derived from
+    # them so the dw/db partial sums stay exact (0 * NaN guard)
+    valid = rows[:, :, :1] < n
+    mu = jnp.where(valid, mu, 0.0)
+    rstd = jnp.where(valid, rstd, 0.0)
+    xhat = jnp.where(valid, (x - mu) * rstd, 0.0)
+    w = w_ref[0, :].astype(jnp.float32)
+    g = dy * w[None, None, :]
+    mg = jnp.mean(g, axis=-1, keepdims=True)
+    mgx = jnp.mean(g * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (rstd * (g - mg - xhat * mgx)).astype(dx_ref.dtype)
+    # partials padded to (1, 8, D) sublane tiles (Mosaic requires block
+    # minor-dims divisible by (8, 128)); the real sum lives in row 0
+    d = dy.shape[-1]
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, d), 1)
+    dw_ref[...] = jnp.where(
+        rows8 == 0, jnp.sum(dy * xhat, axis=(0, 1))[None, None, :], 0.0
+    )
+    db_ref[...] = jnp.where(
+        rows8 == 0, jnp.sum(dy, axis=(0, 1))[None, None, :], 0.0
+    )
+
+
+def _pick_block_b(b: int) -> int:
+    for g in (8, 4, 2):
+        if b % g == 0:
+            return g
+    return 1
+
+
+def _fwd(x, w, b, eps, interpret):
+    bb, n, d = x.shape
+    g = _pick_block_b(bb)
+    np_ = _pad128(n)
+    slab = pl.BlockSpec((g, np_, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((g, np_), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel, n=n, eps=eps)
+    o, mu, rstd = pl.pallas_call(
+        kernel,
+        grid=(bb // g,),
+        in_specs=[slab, vec, vec],
+        out_specs=(slab, stat, stat),
+        out_shape=(
+            jax.ShapeDtypeStruct((bb, n, d), x.dtype),
+            jax.ShapeDtypeStruct((bb, n), jnp.float32),
+            jax.ShapeDtypeStruct((bb, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, w.reshape(1, d), b.reshape(1, d))
+    return o, mu, rstd
+
+
+def _bwd(x, w, mu, rstd, dy, interpret):
+    bb, n, d = x.shape
+    g = _pick_block_b(bb)
+    np_ = _pad128(n)
+    progs = bb // g
+    slab = pl.BlockSpec((g, np_, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((g, np_), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    part = pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel, n=n)
+    dx, dwp, dbp = pl.pallas_call(
+        kernel,
+        grid=(progs,),
+        in_specs=[slab, vec, stat, stat, slab],
+        out_specs=(slab, part, part),
+        out_shape=(
+            jax.ShapeDtypeStruct((bb, n, d), x.dtype),
+            jax.ShapeDtypeStruct((progs, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((progs, 8, d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, w.reshape(1, d), mu, rstd, dy)
+    return dx, jnp.sum(dwp, axis=(0, 1)), jnp.sum(dbp, axis=(0, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_layernorm(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+    eps: float = 1e-6, interpret: bool = False,
+) -> jnp.ndarray:
+    """LayerNorm over the last axis of (B, N, D)."""
+    o, _, _ = _fwd(x, scale, bias, eps, interpret)
+    return o
+
+
+def _ln_fwd(x, scale, bias, eps, interpret):
+    o, mu, rstd = _fwd(x, scale, bias, eps, interpret)
+    return o, (x, scale, mu, rstd)
+
+
+def _ln_bwd(eps, interpret, res, dy):
+    x, scale, mu, rstd = res
+    dx, dw, db = _bwd(x, scale, mu, rstd, dy, interpret)
+    return dx, dw.astype(scale.dtype), db.astype(scale.dtype)
+
+
+fused_layernorm.defvjp(_ln_fwd, _ln_bwd)

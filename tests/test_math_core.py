@@ -308,3 +308,29 @@ def test_selector_grads_finite_with_duplicate_tokens():
     val, g = jax.value_and_grad(f)(jnp.asarray(z_s))
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rank_one_update_eigvals_matches_direct():
+    """Secular recovery of the uncentered covariance spectrum from the
+    centered Gram eigendecomposition (ops.linalg.rank_one_update_eigvals)
+    must match a direct eigvalsh to f32 accuracy."""
+    import numpy as np
+    import jax.numpy as jnp
+    from basd_tpu.ops.linalg import rank_one_update_eigvals
+
+    rng = np.random.default_rng(3)
+    m, d = 2000, 96
+    for _ in range(3):
+        z = rng.standard_normal((m, d)).astype(np.float32) * np.logspace(
+            0, -2, d, dtype=np.float32
+        )
+        mu = z.mean(0)
+        gram = (z - mu).T @ (z - mu)
+        w, v = np.linalg.eigh(gram)
+        lam = rank_one_update_eigvals(
+            jnp.asarray(w[None]), jnp.asarray((v.T @ mu)[None]), float(m)
+        )
+        ref = np.linalg.eigvalsh(z.T @ z)
+        np.testing.assert_allclose(
+            np.asarray(lam)[0], ref, rtol=2e-5, atol=1e-4 * ref[-1]
+        )
