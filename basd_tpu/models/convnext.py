@@ -56,7 +56,9 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x, approximate=False)
+        # tanh-approx GELU at bf16: sub-rounding-floor error, no VPU erf
+        # (same contract as models.layers.Mlp)
+        x = nn.gelu(x, approximate=(self.dtype == jnp.bfloat16))
         x = GRN(4 * self.dim, name="grn")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         return shortcut + x

