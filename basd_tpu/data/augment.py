@@ -421,10 +421,21 @@ def _batch_equalize(imgs: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = imgs.shape
     q = jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.int32)
     flat = q.reshape(b, h * w, c)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    # hist[b, c, v] = #pixels of value v: compare + reduce over the pixel
-    # axis of (b, hw, c, 256), no scatter
-    hist = jnp.sum((flat[:, :, :, None] == bins).astype(jnp.int32), axis=1)
+    # radix-16 factorization: value v = 16*hi + lo, so the 256-way
+    # compare-reduce becomes two 16-way one-hots and a (16 x P x 16)
+    # contraction on the MXU — hist[b, c, hi, lo] = sum_p E[p,hi] F[p,lo].
+    # One-hot entries are 0/1 (exact in bf16); the matmul accumulates in
+    # f32, exact for counts < 2^24. 8x fewer VPU compares than the flat
+    # 256-bin form (traced: 4.5 ms -> sub-ms at B=512/224px).
+    nib = jnp.arange(16, dtype=jnp.int32)
+    # f32 carriers: every value (0/1 one-hots, LUT ints <= 255, counts
+    # < 2^24) is exact under TPU's default bf16-input/f32-accumulate
+    # matmul, and XLA-CPU gets a plain f32 dot (it has no bf16 DotThunk).
+    e_hi = ((flat[..., None] >> 4) == nib).astype(jnp.float32)  # (B,P,C,16)
+    f_lo = ((flat[..., None] & 15) == nib).astype(jnp.float32)
+    hist = jnp.einsum(
+        "bpch,bpcl->bchl", e_hi, f_lo,
+    ).astype(jnp.int32).reshape(b, c, 256)
     nonzero = hist > 0
     idx = jnp.arange(256)
     last_nz = jnp.max(jnp.where(nonzero, idx, -1), axis=-1)  # (B, C)
@@ -437,12 +448,14 @@ def _batch_equalize(imgs: jnp.ndarray) -> jnp.ndarray:
         0,
         255,
     ).astype(jnp.float32)
-    # LUT application as select-and-reduce over bins (gather-free):
-    # eq[b, p, c] = sum_v lut[b, c, v] * [q == v]
-    eq = jnp.sum(
-        jnp.where(flat[:, :, :, None] == bins, lut[:, None, :, :], 0.0),
-        axis=-1,
-    ).reshape(b, h, w, c)
+    # LUT application, radix-factored and gather-free:
+    # eq[p] = sum_{hi,lo} E[p,hi] lut[hi,lo] F[p,lo]
+    #       = sum_lo (E @ lut)[p,lo] * F[p,lo]
+    # (E @ lut) is a tiny MXU matmul; the final contraction is 16 madds
+    # per pixel instead of 256 selects. Exact: E/F rows are one-hot and
+    # lut values 0..255 are integers <= 2^8, exact in bf16/f32.
+    m = jnp.einsum("bpch,bchl->bpcl", e_hi, lut.reshape(b, c, 16, 16))
+    eq = jnp.sum(m * f_lo, axis=-1).reshape(b, h, w, c)
     no_eq = step == 0  # (B, C)
     return jnp.where(no_eq[:, None, None, :], imgs, eq)
 
@@ -701,20 +714,39 @@ def _rrc_params(key, h, w, scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
 
 
 def random_resized_crop(
-    key: jax.Array, img: jnp.ndarray, out_size: int
+    key: jax.Array, img: jnp.ndarray, out_size: int,
+    flip: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(H, W, C) float -> (S, S, C); bilinear with antialias (torchvision
-    v2 default)."""
+    v2 default).
+
+    ``flip`` (scalar bool) folds a horizontal flip into the resample for
+    free: output x -> S-1-x is exactly scale_x -> -scale_x with
+    translation S + left*scale_x (same kernel taps, reversed summation —
+    ~1.5e-5 relative roundoff vs materializing the flip, which costs
+    ~2.4 ms/step of pure HBM reversal at B=512)."""
     h, w = img.shape[0], img.shape[1]
     top, left, ch, cw = _rrc_params(key, h, w)
     scale_y = out_size / ch
     scale_x = out_size / cw
+    tx = -left * scale_x
+    if flip is not None:
+        sign = jnp.where(flip, -1.0, 1.0)
+        tx = jnp.where(flip, out_size + left * scale_x, tx)
+    else:
+        sign = 1.0
     return jax.image.scale_and_translate(
         img,
         (out_size, out_size, img.shape[2]),
         (0, 1),
-        jnp.asarray([scale_y, scale_x], jnp.float32),
-        jnp.asarray([-top * scale_y, -left * scale_x], jnp.float32),
+        jnp.stack(
+            [jnp.asarray(scale_y, jnp.float32),
+             jnp.asarray(sign * scale_x, jnp.float32)]
+        ),
+        jnp.stack(
+            [jnp.asarray(-top * scale_y, jnp.float32),
+             jnp.asarray(tx, jnp.float32)]
+        ),
         method="linear",
         antialias=True,
     )
@@ -823,9 +855,8 @@ def make_train_views(
     keys = jax.random.split(key, (b, 2))
 
     def one(img, ks):
-        crop = random_resized_crop(ks[0], img, out_size)
         flip = jax.random.bernoulli(ks[1], 0.5)
-        return jnp.where(flip, crop[:, ::-1, :], crop)
+        return random_resized_crop(ks[0], img, out_size, flip=flip)
 
     cropped = jax.vmap(one)(imgs, keys)
     augd = trivial_augment_wide_stratified(jax.random.fold_in(key, 7), cropped)
