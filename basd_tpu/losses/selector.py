@@ -123,13 +123,23 @@ def select_and_mix(
     t_tokens = jax.lax.stop_gradient(teacher_tokens)
     t_imp = jax.lax.stop_gradient(teacher_importance)
 
+    # flatten (B, N) BEFORE projecting: the (L, B, N, D) -> (L, M, D)
+    # reshape of the bf16 input is a free bitcast, and the f32 output is
+    # born flat — reshaping the projected f32 output instead traced at
+    # ~8 ms/step of pure layout copies at B=512
     z_t = jnp.einsum(
-        "lbnd,sd->lbns", t_tokens.astype(jnp.float32), proj_t, precision=_PROJ_PREC
-    ).reshape(L, -1, d_s)
+        "lmd,sd->lms",
+        t_tokens.reshape(L, -1, t_tokens.shape[-1]).astype(jnp.float32),
+        proj_t, precision=_PROJ_PREC,
+    )
 
     z_s = jnp.einsum(
-        "pbnd,sd->pbns", student_tokens.astype(jnp.float32), proj_s, precision=_PROJ_PREC
-    ).reshape(P, -1, d_s)
+        "pmd,sd->pms",
+        student_tokens.reshape(P, -1, student_tokens.shape[-1]).astype(
+            jnp.float32
+        ),
+        proj_s, precision=_PROJ_PREC,
+    )
 
     r_cap = min(cfg.max_rank or d_s, d_s)
 
@@ -157,8 +167,12 @@ def select_and_mix(
         stacked = jnp.concatenate(
             [jax.lax.stop_gradient(gram_tc), gram_sc], axis=0
         )
-        impl = "jacobi" if cfg.backend == "jacobi" else "xla"
-        w_all, v_all = safe_eigh(stacked, impl)  # ascending
+        # the (L+P, D_s, D_s) stacked eigh always uses XLA QDWH: at 192^2
+        # the Jacobi kernel's 2(n-1)*sweeps sequential rounds cost more
+        # than the custom call (measured 31 vs 17 ms); the 'jacobi'
+        # backend wins only on the (P*L, r_cap, r_cap) principal-angle
+        # batch below (clustered [0,1] spectra, 12 vs 15 ms in-step).
+        w_all, v_all = safe_eigh(stacked, "xla")  # ascending
 
         # MP rank from the covariance spectra (reference: torch-style
         # median = lower middle element; q = D / M)

@@ -1,43 +1,48 @@
-"""Batched symmetric eigensolver: parallel-ordered cyclic Jacobi in Pallas.
+"""Batched symmetric eigensolver: matmul-formulation Brent-Luk Jacobi.
 
 Motivation (north star: fused Pallas kernels for the BASD spectral
 pipeline): the Grassmannian selector performs dozens of independent
-(D_s x D_s) symmetric eigendecompositions per step; XLA's QDWH eigh
-custom-calls cost ~74 ms/step of a 513 ms step at batch 512 (traced).
+small symmetric eigendecompositions per step. XLA's eigh custom-call
+serializes the batch — measured (scripts/microbench.py, v5e):
+``(1,96,96)`` 1.7 ms but ``(48,96,96)`` 17.6 ms (~0.35 ms *per matrix*),
+``(16,192,192)`` 18.1 ms — so a kernel that keeps the whole batch
+resident in VMEM and applies every rotation batch-parallel on the MXU
+wins on exactly the shapes the selector produces.
 
-Design — everything is full-width vector algebra, no slices/concats
-(Mosaic rejects misaligned lane concatenation):
+Design — every data movement is a matmul against a CONSTANT matrix
+(iota-built in the kernel), no lane rolls (v1 of this kernel lowered
+unit-shift rolls to shuffle cascades and lost 10x; see git history):
 
-- pairs are FIXED as (j, j + m), m = n/2. With per-pair rotation
-  coefficients (c_j, s_j) computed simultaneously at lanes j and j+m,
-  the lane-j+m copies come out as (c, -s), so BOTH row and column
-  rotations collapse to one uniform elementwise update:
+- pairs are FIXED in slot space as (j, (j+m) % n), m = n/2. The swap
+  involution ``S[i,k] = [k == (i+m) % n]`` extracts partner diagonals
+  (``d @ S``) and off-diagonals (``sum(A*S, -1)``), and carries the
+  rotation's off-diagonal coefficients.
+- computing the Jacobi angle formula FULL-WIDTH per slot j gives
+  ``c[j+m] = c[j]`` and ``s[j+m] = -s[j]`` automatically (tau is odd
+  under p<->q exchange), so the Givens aggregate for all m pairs is the
+  dense matrix ``J = diag(c) + diag(s) S``.
+- the Brent-Luk round advance (music chairs, slot 0 fixed) is a
+  constant column-permutation ``P``; folding it in gives ONE rotation
+  matrix per round, ``Jt = diag(c) P + diag(s) (S P)``, and the round
+  update is three batched MXU matmuls:
 
-      A <- C * A - S * roll(A, m)            (columns; lane roll)
-      A <- C' * A - S' * roll(A, m, sublane) (rows; sublane roll)
-      V <- C * V - S * roll(V, m)            (eigenvector accumulation)
+      A <- Jt^T A Jt        V <- V Jt
 
-  where C/S are the full-width coefficient vectors (S antisymmetric
-  across the halves). The 2x2 diagonal entries (a_pp, a_qq, a_pq) are
-  extracted with masked diagonal reductions of A and roll(A, -m).
+  The loop body is round-invariant (same constants every round), so
+  ``lax.fori_loop`` compiles one body for ``sweeps * (n-1)`` trips.
 
-- the round-robin tournament advance (music-chairs, element 0 fixed) is
-  a fixed permutation sigma applied to rows, columns, and V columns each
-  round; it decomposes into 4 static rolls + iota-masked selects.
+Outputs match ``jnp.linalg.eigh`` up to ordering (sorted ascending
+outside the kernel) and per-column sign.
 
-- fixed sweep count keeps shapes static; matrices are processed
-  ``tile_b`` per grid program, batched on the leading axis so the VPU
-  lanes stay full.
-
-Outputs match ``jnp.linalg.eigh`` up to ordering (sorted ascending) and
-per-column sign.
-
-Status (v5e, remote-compile toolchain): correct (5.8e-4 max eigenvalue
-error at 8 sweeps on (48, 96, 96)) but ~10x slower than XLA's QDWH —
-Mosaic unrolls the round loop and lowers the unit-shift rolls on
-non-128-aligned lanes to expensive shuffle sequences. Kept as an opt-in
-backend ('jacobi'); 'gram' (QDWH) remains the default. Next round:
-128-aligned layouts and grouped rotations.
+Status (v5e, measured): all in-kernel dots need ``Precision.HIGHEST`` —
+TPU DEFAULT evaluates f32 dots as single-pass bf16 and ~1000 chained
+bf16 rotations destroy orthogonality (the iteration visibly diverges).
+With that, on the selector's in-step (48, 96, 96) clustered-spectrum
+principal-angle batch the kernel at 6 sweeps runs ~12.4 ms vs ~15.4 ms
+for the QDWH custom-call (bench: 294 -> 286 ms/step) — the 'jacobi'
+backend uses it there. At (16, 192, 192) the 2(n-1)*sweeps sequential
+rounds cost ~31 ms vs QDWH's ~17 ms, so the stacked subspace eigh stays
+on XLA regardless of backend.
 """
 
 from __future__ import annotations
@@ -66,91 +71,77 @@ def _round_robin_schedule(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(tops), np.asarray(bots)
 
 
-def _roll(x, shift, axis):
-    return pltpu.roll(x, shift, axis=axis)
-
-
-def _permute_pairs(x: jnp.ndarray, idx: jnp.ndarray, axis: int, m: int):
-    """Apply the round-robin slot permutation sigma along ``axis``.
-
-    sigma (destination <- source): 0<-0, 1<-m, i<-i-1 for 2<=i<m,
-    m+i<-m+i+1 for 0<=i<m-2... i.e. slots [m, 2m-2] <- +1, slot
-    2m-1 <- m-1. Realized with rolls (dest i <- src i-s means roll by s):
-      cand_a = roll(+1)   for 2<=i<=m-1
-      cand_b = roll(-1)   for m<=i<=2m-2
-      cand_c = roll(1-m)  for i == 1        (src m)
-      cand_d = roll(+m)   for i == 2m-1     (src m-1)
-      keep x              for i == 0
-    """
-    n = x.shape[axis]
-    a = _roll(x, 1, axis)
-    b = _roll(x, n - 1, axis)  # roll(-1)
-    c = _roll(x, (1 - m) % n, axis)
-    d = _roll(x, m, axis)
-    out = jnp.where((idx >= 2) & (idx <= m - 1), a, x)
-    out = jnp.where((idx >= m) & (idx <= 2 * m - 2), b, out)
-    out = jnp.where(idx == 1, c, out)
-    out = jnp.where(idx == 2 * m - 1, d, out)
-    return out
-
-
 def _jacobi_kernel(
     a_ref, w_ref, v_ref, a_s, v_s, *, n: int, sweeps: int, tile_b: int,
     compute_vectors: bool,
 ):
     m = n // 2
     eps = 1e-30
+    f32 = jnp.float32
 
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    ).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # s
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # d / k
+    eye = (row == col).astype(f32)
+    # swap involution: S[i, k] = [k == (i + m) % n]
+    swap = (col == (row + m) % n).astype(f32)
+    # music-chairs column permutation P[s, d] = [s == sigma(d)], where
+    # sigma(0)=0, sigma(1)=m, sigma(d)=d-1 (2<=d<m), sigma(d)=d+1
+    # (m<=d<=n-2), sigma(n-1)=m-1  (slot 0 fixed, halves counter-rotate)
+    perm = (
+        ((col == 0) & (row == 0))
+        | ((col == 1) & (row == m))
+        | ((col >= 2) & (col <= m - 1) & (row == col - 1))
+        | ((col >= m) & (col <= n - 2) & (row == col + 1))
+        | ((col == n - 1) & (row == m - 1))
+    ).astype(f32)
+    # TPU DEFAULT precision computes f32 dots as single-pass bf16;
+    # ~1000 chained rotation rounds at bf16 precision destroy
+    # orthogonality and the iteration diverges (observed). HIGHEST is
+    # true-f32 emulation (Mosaic supports only DEFAULT/HIGHEST).
+    prec = jax.lax.Precision.HIGHEST
+    swap_perm = jax.lax.dot_general(
+        swap, perm, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n, n), 2)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n, n), 1)
-
-    # state lives in VMEM scratch and is updated in place each round —
-    # without the ref round-trip Mosaic stack-allocates every unrolled
-    # iteration of the loop (observed: 125MB scoped-vmem OOM).
-    a_s[...] = a_ref[...].astype(jnp.float32)
-    v_s[...] = jnp.broadcast_to(eye, (tile_b, n, n))
+    # state lives in VMEM scratch and is updated in place each round
+    a_s[...] = a_ref[...].astype(f32)
+    if compute_vectors:
+        v_s[...] = jnp.broadcast_to(eye, (tile_b, n, n))
 
     def one_round(_, carry):
         a = a_s[...]
-        # pair-diagonal extraction at full width:
-        d = jnp.sum(a * eye, axis=-1)  # (tile_b, n): A[j, j]
-        a_shift = _roll(a, (-m) % n, 2)  # lane j holds A[:, j+m]
-        dr = jnp.sum(a_shift * eye, axis=-1)  # A[j, j+m]
-        app = d
-        aqq = _roll(d[:, None, :], (-m) % n, 2)[:, 0, :]  # d[j+m]
-        apq = dr
+        d = jnp.sum(a * eye, axis=-1)  # (B, n): A[j, j]
+        aqq = jax.lax.dot_general(
+            d, swap, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=prec,
+        )  # d[(j+m) % n]
+        apq = jnp.sum(a * swap, axis=-1)  # A[j, (j+m) % n]
 
         abs_apq = jnp.abs(apq)
-        tau = (aqq - app) / (2.0 * jnp.where(abs_apq < eps, 1.0, apq))
+        ok = abs_apq > eps
+        tau = (aqq - d) / (2.0 * jnp.where(ok, apq, 1.0))
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(abs_apq < eps, 0.0, t)
+        t = jnp.where(ok, t, 0.0)
         c = jax.lax.rsqrt(1.0 + t * t)
         s = t * c
-        # lanes j and j+m of (c, s) satisfy c[j+m] = c[j], s[j+m] = -s[j],
-        # so A <- C*A - S*roll(A, m) is the exact rotation on both halves.
+        # slots j and j+m carry (c, s) and (c, -s): J = diag(c)+diag(s)S
+        # annihilates all m off-diagonal pairs; fold in the round advance
+        jt = c[:, :, None] * perm[None] + s[:, :, None] * swap_perm[None]
 
-        c_col = c[:, None, :]
-        s_col = s[:, None, :]
-        a = c_col * a - s_col * _roll(a, m, 2)
-        c_row = c[:, :, None]
-        s_row = s[:, :, None]
-        a = c_row * a - s_row * _roll(a, m, 1)
-
-        # round-robin advance on rows and columns
-        a = _permute_pairs(a, sub, 1, m)
-        a = _permute_pairs(a, lane, 2, m)
-        a_s[...] = a
-
+        ajt = jax.lax.dot_general(
+            a, jt, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+            precision=prec,
+        )
+        a_s[...] = jax.lax.dot_general(
+            jt, ajt, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+            precision=prec,
+        )
         if compute_vectors:
-            v = v_s[...]
-            v = c_col * v - s_col * _roll(v, m, 2)
-            v = _permute_pairs(v, lane, 2, m)
-            v_s[...] = v
+            v_s[...] = jax.lax.dot_general(
+                v_s[...], jt, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec,
+            )
         return carry
 
     jax.lax.fori_loop(0, sweeps * (n - 1), one_round, 0)
@@ -166,16 +157,19 @@ def jacobi_eigh(
     a: jnp.ndarray,
     *,
     sweeps: int = 10,
-    tile_b: int = 8,
+    tile_b: int | None = None,
     compute_vectors: bool = True,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched symmetric eigh via parallel Jacobi (ascending eigenvalues).
+    """Batched symmetric eigh via matmul-form parallel Jacobi.
 
     Args:
         a: (B, n, n) symmetric float32; n must be even.
-        compute_vectors: skip eigenvector accumulation (values-only
-            callers, e.g. principal-angle spectra).
+        tile_b: matrices per grid program (default: the whole batch —
+            grid programs serialize on the single TensorCore, so one
+            program maximizes batch-parallel MXU work; VMEM use is
+            ~4 * tile_b * n^2 f32).
+        compute_vectors: skip eigenvector accumulation (values-only).
 
     Returns:
         (w, v): (B, n) ascending eigenvalues, (B, n, n) eigenvectors
@@ -183,6 +177,9 @@ def jacobi_eigh(
     """
     batch, n, n2 = a.shape
     assert n == n2 and n % 2 == 0, f"need even square matrices, got {a.shape}"
+    if tile_b is None:
+        # ~4 live (tile_b, n, n) f32 arrays; stay under ~48MB of VMEM
+        tile_b = max(1, min(batch, (48 * 2**20) // (4 * 4 * n * n)))
     pad = (-batch) % tile_b
     if pad:
         a = jnp.concatenate(
@@ -197,9 +194,6 @@ def jacobi_eigh(
     w, v = pl.pallas_call(
         kernel,
         grid=(padded // tile_b,),
-        # Mosaic unrolls the round loop and its liveness analysis keeps
-        # ~2 temporaries per unrolled round on the VMEM stack; raise the
-        # scoped limit well above the 16MB default (v5e VMEM is 128MB).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

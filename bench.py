@@ -83,7 +83,7 @@ def main() -> None:
             "basd": {
                 "teacher_model_name": "deit_small_patch16_224",
                 "num_extraction_points": 4,
-                "spectral_backend": "gram",
+                "spectral_backend": "jacobi",
                 # static rank cap: D_s/2 = 96; observed MP ranks on ViT
                 # features sit far below (see ranks in training logs)
                 "max_rank": 96,

@@ -82,7 +82,8 @@ def test_model_flash_path_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(out_f["tokens"]), np.asarray(out_e["tokens"]), atol=1e-4
     )
-    # importance is computed outside the kernel — must be identical
+    # the fused in-kernel CLS-row importance must match the einsum
+    # reduction (same f32 softmax math)
     np.testing.assert_allclose(
         np.asarray(out_f["importance"]),
         np.asarray(out_e["importance"]),
