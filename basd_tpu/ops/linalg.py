@@ -282,7 +282,32 @@ def newton_schulz_polar(
     direction, which costs only ~3e-4 relative error in the nuclear-norm
     value (second-order insensitivity) and ~1% in the gradient direction;
     pass ``inner_dtype=jnp.float32`` for the high-precision variant.
+
+    On TPU the bf16 hybrid schedule dispatches to the fused Pallas
+    kernel (``ops.pallas.ns_polar``) when the trailing dims satisfy its
+    tiling constraints: the XLA lowering round-trips ~1.3 GB of
+    intermediates to HBM per iteration at the Procrustes batch and is
+    bandwidth-bound; the kernel keeps the whole iteration VMEM-resident.
     """
+    if (
+        schedule == "hybrid"
+        and inner_dtype == jnp.bfloat16
+        and m.ndim >= 3
+        and jax.default_backend() == "tpu"
+    ):
+        *batch, r, c = m.shape
+        flip = r > c
+        rr, cc = (c, r) if flip else (r, c)
+        if rr % 8 == 0 and cc % 128 == 0:
+            from basd_tpu.ops.pallas.ns_polar import ns_polar_hybrid
+
+            x = m.astype(jnp.float32).reshape((-1, r, c))
+            if flip:
+                x = jnp.swapaxes(x, -1, -2)
+            p = ns_polar_hybrid(x)
+            if flip:
+                p = jnp.swapaxes(p, -1, -2)
+            return p.reshape(m.shape).astype(m.dtype)
     dtype = m.dtype
     x = m.astype(jnp.float32)
     norm = jnp.sqrt(

@@ -334,3 +334,40 @@ def test_rank_one_update_eigvals_matches_direct():
         np.testing.assert_allclose(
             np.asarray(lam)[0], ref, rtol=2e-5, atol=1e-4 * ref[-1]
         )
+
+
+def test_ns_polar_pallas_matches_xla():
+    """The fused Pallas NS kernel must reproduce the XLA hybrid path
+    bit-for-bit in spirit (same schedule, same bf16 casts) — checked at
+    bf16-noise tolerance, plus schedule constants kept in sync."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basd_tpu.ops import linalg
+    from basd_tpu.ops.pallas import ns_polar
+
+    assert ns_polar._QUINTIC_SCHEDULE == linalg._QUINTIC_SCHEDULE
+
+    rng = np.random.default_rng(11)
+    # ill-conditioned batch: decaying spectrum over (B, 16, 128)
+    b, r, c = 5, 16, 128
+    u = np.linalg.qr(rng.standard_normal((b, r, r)))[0]
+    v = np.linalg.qr(rng.standard_normal((b, c, c)))[0][:, :, :r]
+    # condition 1e2: the bf16 hybrid drives this full spectrum to ~1
+    # (at 1e-4 tail singular values the orthogonality defect is bf16-
+    # visible in BOTH paths — the first assert still locks parity)
+    s = np.logspace(0, -2, r)
+    m = jnp.asarray(
+        np.einsum("bik,k,bjk->bij", u, s, v), jnp.float32
+    )
+    ref = linalg.newton_schulz_polar(m, schedule="hybrid")
+    out = ns_polar.ns_polar_hybrid(m, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-2
+    )
+    # polar property: out^T out ~ I on the row space
+    p = np.asarray(out, np.float64)
+    ppt = np.einsum("bik,bjk->bij", p, p)
+    np.testing.assert_allclose(
+        ppt, np.broadcast_to(np.eye(r), (b, r, r)), atol=5e-2
+    )
