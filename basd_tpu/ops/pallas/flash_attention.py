@@ -172,7 +172,10 @@ def _fwd(q, k, v, scale, interpret, with_importance=False):
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # independent batch-tile programs: lets Mosaic double-buffer
+            # the slab DMA of program i+1 under program i's compute
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(q.reshape(b, n, h * e), k.reshape(b, n, h * e), v.reshape(b, n, h * e))
@@ -198,7 +201,10 @@ def _bwd(q, k, v, o, do, lse, scale, interpret):
             jax.ShapeDtypeStruct((b, n, h * e), q.dtype) for _ in range(3)
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # independent batch-tile programs: lets Mosaic double-buffer
+            # the slab DMA of program i+1 under program i's compute
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(flat(q), flat(k), flat(v), flat(o), flat(do), lse)

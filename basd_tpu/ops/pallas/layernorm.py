@@ -112,6 +112,9 @@ def _fwd(x, w, b, eps, interpret):
             jax.ShapeDtypeStruct((bb, n), jnp.float32),
             jax.ShapeDtypeStruct((bb, n), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(x, w.reshape(1, d), b.reshape(1, d))
     return o, mu, rstd
@@ -139,6 +142,9 @@ def _bwd(x, w, mu, rstd, dy, interpret):
             jax.ShapeDtypeStruct((bb, n, d), x.dtype),
             jax.ShapeDtypeStruct((progs, 8, d), jnp.float32),
             jax.ShapeDtypeStruct((progs, 8, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(x, w.reshape(1, d), mu, rstd, dy)

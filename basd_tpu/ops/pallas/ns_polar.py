@@ -110,7 +110,10 @@ def ns_polar_hybrid(
         out_specs=slab,
         out_shape=jax.ShapeDtypeStruct((padded, r, c), _BF),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # independent batch-tile programs: lets Mosaic double-buffer
+            # the slab DMA of program i+1 under program i's compute
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(x.astype(_F32))  # f32 in: the prescale must see unrounded values

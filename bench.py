@@ -149,6 +149,17 @@ def main() -> None:
     final_loss = float(metrics["loss_sum"])
     elapsed = time.perf_counter() - t0
 
+    # the static rank cap (basd.max_rank) must not bind, or the bench
+    # measures a different (truncated-subspace) computation than the
+    # reference default (ranks are clamped to min(D_s-1, cap))
+    ranks = np.asarray(metrics["ranks"])
+    cap = cfg.basd.max_rank
+    assert ranks.max() < cap, (
+        f"rank cap binds: observed ranks {ranks.tolist()} vs cap {cap}"
+    )
+    print(f"bench: observed MP ranks {ranks.tolist()} (cap {cap})",
+          file=sys.stderr)
+
     img_per_sec = BATCH_SIZE * TIMED_STEPS / elapsed
     per_chip = img_per_sec / n_chips
     print(
