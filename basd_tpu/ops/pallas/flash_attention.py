@@ -55,8 +55,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *imp_ref,
     imp_acc = None
     for i in range(h):
         sl = slice(i * e, (i + 1) * e)
-        q = _row_mask(q_ref[:, :, sl], n)
-        k = _row_mask(k_ref[:, :, sl], n)
+        # q/k need no padding mask: padded q ROWS produce garbage output
+        # rows that the partial-block store discards, and padded k
+        # columns are overwritten with -1e30 by kmask below. v DOES need
+        # it: pn is exactly 0 at padded keys, but 0 * NaN-garbage = NaN.
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
         v = _row_mask(v_ref[:, :, sl], n)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
@@ -67,11 +71,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *imp_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pn = p / l
+        # deferred normalization: scale O by 1/l after the PV matmul
+        # ((G, NP, E) elementwise) instead of normalizing the full
+        # (G, NP, NP) probability block — 4x fewer VPU divides at E=64
         o = jax.lax.dot_general(
-            pn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ) / l
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
         lse_ref[:, i, :] = m[..., 0] + jnp.log(l[..., 0])
         if imp_ref:
@@ -79,7 +85,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *imp_ref,
             # the reference's distillation importance
             # (src/losses/relational.py:22-24), CLS key stripped by the
             # caller.
-            row0 = pn[:, 0, :]  # (G, NP)
+            row0 = p[:, 0, :] / l[:, 0]  # (G, NP)
             imp_acc = row0 if imp_acc is None else imp_acc + row0
     if imp_ref:
         imp_ref[0][...] = imp_acc / h

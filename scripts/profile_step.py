@@ -167,7 +167,7 @@ def _setup(batch):
             "basd": {
                 "teacher_model_name": "deit_small_patch16_224",
                 "num_extraction_points": 4,
-                "spectral_backend": "gram",
+                "spectral_backend": "jacobi",
                 "max_rank": 96,
             },
             "tpu": {"mesh": {"data": -1, "model": 1}, "remat": True},
