@@ -125,12 +125,27 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
     t_compile = time.perf_counter()
-    for i in range(WARMUP_STEPS):
-        key, sub = jax.random.split(key)
-        trainer.opt_state, metrics = trainer._train_step(
-            trainer.opt_state, trainer.teacher_vars, trainer.sel_buffers,
-            sharded["image"], sharded["label"], sub,
-        )
+    # the remote-compile service intermittently returns HTTP 500; the
+    # compile is cached server-side across attempts, so a short retry
+    # loop rides out transient failures without skewing the timed steps
+    for attempt in range(4):
+        try:
+            k2 = key
+            for i in range(WARMUP_STEPS):
+                k2, sub = jax.random.split(k2)
+                trainer.opt_state, metrics = trainer._train_step(
+                    trainer.opt_state, trainer.teacher_vars,
+                    trainer.sel_buffers,
+                    sharded["image"], sharded["label"], sub,
+                )
+            float(metrics["loss_sum"])
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 3 or "500" not in str(e):
+                raise
+            print(f"bench: transient compile failure, retrying: {e!r}"[:200],
+                  file=sys.stderr)
+            time.sleep(20)
     print(
         f"bench: warmup+compile {time.perf_counter() - t_compile:.1f}s "
         f"loss={float(metrics['loss_sum']) / BATCH_SIZE:.4f}",

@@ -91,3 +91,28 @@ def test_selector_jacobi_backend_tiny():
         np.asarray(out_j[2]["distances_sq"]),
         rtol=5e-3, atol=1e-3,
     )
+
+
+def test_production_sweeps_on_principal_angle_spectra():
+    """The selector's 'jacobi' backend runs 6 sweeps (ops/linalg.py
+    _eigh_impl). Its matrices are Grams of masked cross-bases: spectra
+    clustered in [0, 1] with exact zeros and near-full masked rank (the
+    bench observes ranks 87-91 of 96). 6 sweeps reach ~1.5e-4 absolute
+    on exactly this structure (measured); principal-angle distances
+    inherit ~1e-4, two orders below the 5e-3 gram-vs-svd backend
+    tolerance the selector tests lock."""
+    rng = np.random.default_rng(5)
+    bsz, d, r = 8, 192, 96
+    mats = []
+    for i in range(bsz):
+        us = np.linalg.qr(rng.standard_normal((d, r)))[0]
+        ut = np.linalg.qr(rng.standard_normal((d, r)))[0]
+        g = us.T @ ut
+        k = rng.integers(85, 93)
+        mask = (np.arange(r) < k).astype(np.float64)
+        gm = mask[:, None] * g * mask[None, :]
+        mats.append(gm.T @ gm)
+    a = jnp.asarray(np.stack(mats), jnp.float32)
+    w, _ = jacobi_eigh(a, sweeps=6, interpret=True)
+    w_ref = np.linalg.eigvalsh(np.stack(mats))
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=3e-4)
