@@ -45,9 +45,10 @@ from basd_tpu.ops.grassmann import (
 )
 from basd_tpu.ops.linalg import orthogonal_matrix
 
-# 3-pass f32 emulation: ~2e-6 relative accuracy on the projections, half
-# the cost of the 6-pass HIGHEST (the Gram contractions downstream stay
-# HIGHEST — they feed eigenvalue thresholds).
+# 3-pass f32 emulation: ~2e-6 relative accuracy, half the cost of the
+# 6-pass HIGHEST — used for the projections AND (since round 2) the Gram
+# contractions; see the in-line note at the Gram einsums for why the MP
+# rank thresholds tolerate it.
 _PROJ_PREC = jax.lax.Precision.HIGH
 from basd_tpu.ops.mp_rank import marchenko_pastur_rank
 
@@ -160,9 +161,16 @@ def select_and_mix(
         m_t = z_t.shape[1]
         mu_t = jnp.mean(z_t, axis=1)  # (L, D)
         z_tc = z_t - mu_t[:, None, :]
-        gram_tc = jnp.einsum("lmi,lmj->lij", z_tc, z_tc, precision=HI)
+        # 3-pass f32 emulation on the Grams (~1e-6 relative): rank
+        # thresholds compare O(1) eigenvalues, where 1e-6 noise is far
+        # below the batch-to-batch rank variation (+-2); bench.py prints
+        # the observed ranks as the canary. Halves the two largest
+        # selector contractions vs 6-pass HIGHEST.
+        gram_tc = jnp.einsum("lmi,lmj->lij", z_tc, z_tc,
+                             precision=_PROJ_PREC)
         z_sc = z_s - jnp.mean(z_s, axis=1, keepdims=True)
-        gram_sc = jnp.einsum("pmi,pmj->pij", z_sc, z_sc, precision=HI)
+        gram_sc = jnp.einsum("pmi,pmj->pij", z_sc, z_sc,
+                             precision=_PROJ_PREC)
 
         stacked = jnp.concatenate(
             [jax.lax.stop_gradient(gram_tc), gram_sc], axis=0
