@@ -713,18 +713,56 @@ def _rrc_params(key, h, w, scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
     return top, left, ch, cw
 
 
+def _resample_weight_mat(in_size, out_size, scale, translation):
+    """``jax.image``'s compute_weight_mat (triangle kernel, antialias=True)
+    with ``kernel_scale = max(1/|scale|, 1)`` instead of ``max(1/scale, 1)``.
+
+    jax's formula yields kernel_scale=1 for any negative scale, silently
+    disabling antialiasing for flip-folded DOWNSCALES (upscales are
+    unaffected — their kernel_scale is 1 anyway). With the |scale| fix the
+    negative-scale weight columns are exactly the mirror of the
+    positive-scale ones (sample_f_neg(o) == sample_f_pos(S-1-o)
+    analytically), so a folded flip equals flip-after-resample to ~1e-5
+    relative (f32 roundoff in the translation arithmetic) for down- AND
+    upscales, while staying free (materializing the flip costs ~2.4 ms/step
+    of HBM reversal at B=512)."""
+    inv_scale = 1.0 / scale
+    kernel_scale = jnp.maximum(jnp.abs(inv_scale), 1.0)
+    sample_f = (
+        (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * inv_scale
+        - translation * inv_scale
+        - 0.5
+    )
+    x = (
+        jnp.abs(
+            sample_f[None, :] - jnp.arange(in_size, dtype=jnp.float32)[:, None]
+        )
+        / kernel_scale
+    )
+    weights = jnp.maximum(0.0, 1.0 - x)
+    total = jnp.sum(weights, axis=0, keepdims=True)
+    weights = jnp.where(
+        jnp.abs(total) > 1000.0 * float(np.finfo(np.float32).eps),
+        weights / jnp.where(total != 0.0, total, 1.0),
+        0.0,
+    )
+    in_bounds = (sample_f >= -0.5) & (sample_f <= in_size - 0.5)
+    return jnp.where(in_bounds[None, :], weights, 0.0)
+
+
 def random_resized_crop(
     key: jax.Array, img: jnp.ndarray, out_size: int,
     flip: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(H, W, C) float -> (S, S, C); bilinear with antialias (torchvision
-    v2 default).
+    v2 default), as two explicit weight-matrix contractions.
 
     ``flip`` (scalar bool) folds a horizontal flip into the resample for
     free: output x -> S-1-x is exactly scale_x -> -scale_x with
-    translation S + left*scale_x (same kernel taps, reversed summation —
-    ~1.5e-5 relative roundoff vs materializing the flip, which costs
-    ~2.4 ms/step of pure HBM reversal at B=512)."""
+    translation S + left*scale_x. The weight matrices come from
+    ``_resample_weight_mat`` (NOT jax.image.scale_and_translate), whose
+    |scale| antialias correction makes the folded flip match
+    flip-after-resample (~1e-5 relative) for downscaling crops too."""
     h, w = img.shape[0], img.shape[1]
     top, left, ch, cw = _rrc_params(key, h, w)
     scale_y = out_size / ch
@@ -735,21 +773,11 @@ def random_resized_crop(
         tx = jnp.where(flip, out_size + left * scale_x, tx)
     else:
         sign = 1.0
-    return jax.image.scale_and_translate(
-        img,
-        (out_size, out_size, img.shape[2]),
-        (0, 1),
-        jnp.stack(
-            [jnp.asarray(scale_y, jnp.float32),
-             jnp.asarray(sign * scale_x, jnp.float32)]
-        ),
-        jnp.stack(
-            [jnp.asarray(-top * scale_y, jnp.float32),
-             jnp.asarray(tx, jnp.float32)]
-        ),
-        method="linear",
-        antialias=True,
-    )
+    wy = _resample_weight_mat(h, out_size, scale_y, -top * scale_y)
+    wx = _resample_weight_mat(w, out_size, sign * scale_x, tx)
+    hi = jax.lax.Precision.HIGHEST  # match scale_and_translate's default
+    tmp = jnp.einsum("hs,hwc->swc", wy, img, precision=hi)
+    return jnp.einsum("swc,wt->stc", tmp, wx, precision=hi)
 
 
 def center_crop(img: jnp.ndarray, out_size: int) -> jnp.ndarray:

@@ -242,6 +242,7 @@ def _flash_bwd(scale, interpret, res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention_with_importance(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale: float, interpret: bool = False,
@@ -249,8 +250,25 @@ def flash_attention_with_importance(
     """Attention output + head-mean CLS-row attention (B, N).
 
     The importance vector includes the CLS key at index 0 (the caller
-    strips it, matching ``reduce_attention_importance``). Forward-only:
-    used by frozen-teacher extraction, so no VJP is defined.
-    """
+    strips it, matching ``reduce_attention_importance``). FORWARD-ONLY:
+    used by frozen-teacher extraction (``models/layers.py`` importance_mode
+    'cls'); differentiating through it raises with guidance instead of a
+    cryptic Pallas transpose error (use attention_impl='einsum' for a
+    trainable cls-importance model)."""
     o, _, imp = _fwd(q, k, v, scale, interpret, with_importance=True)
     return o, imp
+
+
+def _flash_imp_fwd(q, k, v, scale, interpret):
+    return flash_attention_with_importance(q, k, v, scale, interpret), None
+
+
+def _flash_imp_bwd(scale, interpret, res, g):
+    raise NotImplementedError(
+        "flash_attention_with_importance is forward-only (frozen-teacher "
+        "extraction). For gradients through a cls-importance attention use "
+        "attention_impl='einsum'."
+    )
+
+
+flash_attention_with_importance.defvjp(_flash_imp_fwd, _flash_imp_bwd)

@@ -26,6 +26,7 @@ the reference lands at or below ~1200 img/s. We use 1200.0.
 from __future__ import annotations
 
 import json
+import re
 import sys
 import time
 
@@ -127,9 +128,19 @@ def main() -> None:
     t_compile = time.perf_counter()
     # the remote-compile service intermittently returns HTTP 500; the
     # compile is cached server-side across attempts, so a short retry
-    # loop rides out transient failures without skewing the timed steps
+    # loop rides out transient failures without skewing the timed steps.
+    # Retries restart from a snapshot of the initial optimizer state so
+    # every attempt warms up from identical state.
+    def _is_transient_500(exc) -> bool:
+        msg = str(exc)
+        return bool(re.search(r"\b500\b", msg)) and any(
+            k in msg.lower() for k in ("http", "internal", "server", "compil")
+        )
+
+    opt_state0 = trainer.opt_state
     for attempt in range(4):
         try:
+            trainer.opt_state = opt_state0
             k2 = key
             for i in range(WARMUP_STEPS):
                 k2, sub = jax.random.split(k2)
@@ -141,7 +152,7 @@ def main() -> None:
             float(metrics["loss_sum"])
             break
         except Exception as e:  # noqa: BLE001
-            if attempt == 3 or "500" not in str(e):
+            if attempt == 3 or not _is_transient_500(e):
                 raise
             print(f"bench: transient compile failure, retrying: {e!r}"[:200],
                   file=sys.stderr)

@@ -143,6 +143,42 @@ def test_random_resized_crop_shape_and_range():
     assert len(set(outs)) > 4  # boxes vary
 
 
+def test_rrc_folded_flip_matches_materialized_flip_downscale():
+    # 250 -> 64: with scale=(0.08, 1.0) every crop from a 250px canvas is
+    # a DOWNSCALE (cw >= sqrt(0.08)*250 = 70 > 64), where antialiasing
+    # matters. jax.image's kernel_scale = max(1/scale, 1) silently dropped
+    # the antialias for the folded (negative-scale) flip; the |scale| fix
+    # makes fold == flip-after-resample bitwise (ADVICE r2, high).
+    img = jnp.asarray(RNG.integers(0, 256, (250, 250, 3)), jnp.float32)
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        unflipped = np.asarray(A.random_resized_crop(key, img, 64, flip=jnp.asarray(False)))
+        folded = np.asarray(A.random_resized_crop(key, img, 64, flip=jnp.asarray(True)))
+        # ~1e-5 relative roundoff from the translation arithmetic; the
+        # pre-fix antialias bug was 0.13 RELATIVE (tens absolute on the
+        # 0..255 scale), so atol=0.01 cleanly separates the two.
+        np.testing.assert_allclose(folded, unflipped[:, ::-1], rtol=0, atol=1e-2)
+
+
+def test_rrc_matches_jax_image_scale_and_translate():
+    # the explicit weight-matrix resample must reproduce
+    # jax.image.scale_and_translate for positive scales (the torchvision
+    # antialias parity path).
+    img = jnp.asarray(RNG.integers(0, 256, (100, 90, 3)), jnp.float32)
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        top, left, ch, cw = A._rrc_params(key, 100, 90)
+        sy, sx = 48 / ch, 48 / cw
+        ref = jax.image.scale_and_translate(
+            img, (48, 48, 3), (0, 1),
+            jnp.stack([jnp.float32(sy), jnp.float32(sx)]),
+            jnp.stack([jnp.float32(-top * sy), jnp.float32(-left * sx)]),
+            method="linear", antialias=True,
+        )
+        got = A.random_resized_crop(key, img, 48, flip=jnp.asarray(False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
 def test_rrc_full_scale_is_near_identity():
     img = jnp.asarray(_img(32, 32), jnp.float32)
     # scale=(1,1), ratio=(1,1) forces the full-image crop
