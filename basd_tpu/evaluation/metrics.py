@@ -35,27 +35,31 @@ from basd_tpu.data.sources import (
 from basd_tpu.parallel import mesh as meshlib
 
 
-def evaluate_model(
-    apply_fn,
-    params,
-    source,
+def make_eval_step(
+    apply_logits_fn,
     *,
-    mesh,
     img_size: int,
-    batch_size: int,
-    crop_ratio: float,
     stats: tuple,
-    num_classes: int,
     valid_indices=None,
     label_smoothing: float = 0.0,
-) -> dict[str, Any]:
-    idx = None if valid_indices is None else jnp.asarray(tuple(valid_indices))
+):
+    """THE jitted eval-step: uint8 canvases + labels -> summed top1/top5/CE.
+
+    Single implementation shared by ``Trainer`` validation (smoothed CE,
+    reference ``trainer.py:185-188``) and ``evaluate_model`` (plain CE,
+    optional subset logit slicing, reference ``metrics.py:19-55``) —
+    label smoothing and ``valid_indices`` are arguments, so the two call
+    sites cannot drift.
+    """
     stats = tuple(map(tuple, stats))
+    idx = None if valid_indices is None else jnp.asarray(tuple(valid_indices))
 
     @jax.jit
     def step(params, images_u8, labels):
         x = aug.make_eval_view(images_u8, img_size, stats)
-        logits = apply_fn(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
+        logits = apply_logits_fn(params, x.astype(jnp.bfloat16)).astype(
+            jnp.float32
+        )
         if idx is not None:
             logits = logits[:, idx]
         valid = labels >= 0
@@ -74,6 +78,30 @@ def evaluate_model(
             "count": jnp.sum(valid),
         }
 
+    return step
+
+
+def evaluate_model(
+    apply_fn,
+    params,
+    source,
+    *,
+    mesh,
+    img_size: int,
+    batch_size: int,
+    crop_ratio: float,
+    stats: tuple,
+    num_classes: int,
+    valid_indices=None,
+    label_smoothing: float = 0.0,
+) -> dict[str, Any]:
+    step = make_eval_step(
+        apply_fn,
+        img_size=img_size,
+        stats=stats,
+        valid_indices=valid_indices,
+        label_smoothing=label_smoothing,
+    )
     r = round(img_size / crop_ratio)
     ce = top1 = top5 = total = 0
     batches = source.load_batches(

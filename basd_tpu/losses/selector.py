@@ -192,8 +192,12 @@ def select_and_mix(
         w_cov = rank_one_update_eigvals(w_t_asc, c_t, float(m_t)) / m_t
         sigma2 = w_cov[:, (d_s - 1) // 2]
         lam_plus = sigma2 * (1.0 + (d_s / m_t) ** 0.5) ** 2
-        ranks = jnp.sum(w_cov > lam_plus[:, None], axis=-1).astype(jnp.int32)
-        ranks = jnp.minimum(ranks, min(d_s - 1, r_cap))
+        raw_ranks = jnp.sum(w_cov > lam_plus[:, None], axis=-1).astype(jnp.int32)
+        # reference semantics clamp to D_s - 1 (layer_selector.py:73); any
+        # FURTHER clamp by the static r_cap changes the computed loss —
+        # counted in aux['rank_cap_hits'] so training can surface it.
+        ref_ranks = jnp.minimum(raw_ranks, d_s - 1)
+        ranks = jnp.minimum(ref_ranks, r_cap)
 
         w_t = w_all[:L, ::-1]
         basis_t = v_all[:L, :, ::-1][:, :, :r_cap]
@@ -201,10 +205,10 @@ def select_and_mix(
         basis_s = v_all[L:, :, ::-1][:, :, :r_cap]
     else:
         rank_impl = "jacobi" if cfg.backend == "jacobi" else "xla"
-        ranks = jnp.minimum(
-            marchenko_pastur_rank(z_t, impl=rank_impl),
-            min(d_s - 1, r_cap),
-        )  # (L,)
+        ref_ranks = jnp.minimum(
+            marchenko_pastur_rank(z_t, impl=rank_impl), d_s - 1
+        )  # (L,) reference semantics (layer_selector.py:73)
+        ranks = jnp.minimum(ref_ranks, r_cap)
         basis_t, svals_t = grassmann_subspace(z_t, backend=cfg.backend)
         basis_t = jax.lax.stop_gradient(basis_t)[:, :, :r_cap]
         svals_t = jax.lax.stop_gradient(svals_t)[:, :r_cap]
@@ -235,6 +239,11 @@ def select_and_mix(
 
     aux = {
         "ranks": ranks,
+        # layers whose reference-semantics rank the static cap truncated
+        # this step: nonzero means the loss is computed on a smaller
+        # subspace than the reference would use (silent-semantics guard —
+        # the trainer warns / optionally errors on it).
+        "rank_cap_hits": jnp.sum(ref_ranks > ranks).astype(jnp.int32),
         "mix_weights": weights,
         "distances_sq": d_sq,
         "temperatures": tau,
