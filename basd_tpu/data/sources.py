@@ -129,13 +129,22 @@ def get_channel_stats(dataset_name: str) -> tuple[tuple[float, ...], tuple[float
     return tuple(mean.tolist()), tuple(std.tolist())
 
 
-def get_subset_indices(dataset_name: str, parent_name: str) -> tuple[int, ...] | None:
-    child = dataset_info(dataset_name)["class_names"]
-    parent = dataset_info(parent_name)["class_names"]
+def subset_indices_from_names(
+    child: tuple, parent: tuple
+) -> tuple[int, ...] | None:
+    """Class-name remap of a robustness subset into the parent label space
+    (reference: ``datasets.py:71-77``); None when the label spaces match."""
     if set(child) == set(parent):
         return None
     parent_map = {n: i for i, n in enumerate(parent)}
     return tuple(parent_map[n] for n in child)
+
+
+def get_subset_indices(dataset_name: str, parent_name: str) -> tuple[int, ...] | None:
+    return subset_indices_from_names(
+        dataset_info(dataset_name)["class_names"],
+        dataset_info(parent_name)["class_names"],
+    )
 
 
 # -- sources ---------------------------------------------------------------
@@ -163,6 +172,9 @@ class SyntheticSource:
 
     def num_classes(self) -> int:
         return self.spec["num_classes"]
+
+    def class_names(self) -> tuple:
+        return dataset_info(self.name)["class_names"]
 
     def _example(self, split: str, idx: int, out_size: int) -> tuple[np.ndarray, int]:
         c = self.spec["num_classes"]
@@ -267,6 +279,9 @@ class HFSource:
     def num_classes(self) -> int:
         return self.info["num_classes"]
 
+    def class_names(self) -> tuple:
+        return tuple(self.info["class_names"])
+
     def _decode(self, img, out_size: int) -> np.ndarray:
         # aspect-preserving shorter-side resize then center crop, i.e.
         # torchvision Resize(out) + CenterCrop(out) semantics. The resize
@@ -315,7 +330,42 @@ class HFSource:
                 }
 
 
-def make_source(name: str, source_kind: str = "hf", *, num_workers: int = 8):
+def make_source(
+    name: str,
+    source_kind: str = "hf",
+    *,
+    num_workers: int = 8,
+    cache_dir: str | None = None,
+):
     if is_synthetic(name) or source_kind == "synthetic":
         return SyntheticSource(name)
+    if source_kind == "cached":
+        from basd_tpu.data.cache import CachedSource
+
+        if cache_dir is None:
+            raise ValueError("data.source=cached requires data.cache_dir")
+        return CachedSource(name, cache_dir)
     return HFSource(name, num_workers=num_workers)
+
+
+def source_from_config(config, name: str | None = None):
+    """Build the configured source (``data.source``: hf | cached |
+    synthetic) for ``name`` (default: the primary dataset)."""
+    return make_source(
+        name if name is not None else config.data.dataset,
+        config.data.get("source", "hf"),
+        num_workers=config.data.get("num_workers", 8),
+        cache_dir=config.data.get("cache_dir"),
+    )
+
+
+def stats_from_config(config) -> tuple[tuple, tuple]:
+    """Primary-dataset channel stats. In cached mode they come from the
+    cache's meta.json (recorded at build time), so training needs no
+    network access at all."""
+    name = config.data.dataset
+    if config.data.get("source", "hf") == "cached" and not is_synthetic(name):
+        from basd_tpu.data.cache import CachedSource
+
+        return CachedSource(name, config.data.get("cache_dir")).channel_stats()
+    return get_channel_stats(name)

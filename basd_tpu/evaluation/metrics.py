@@ -27,10 +27,9 @@ import numpy as np
 from basd_tpu.data import augment as aug
 from basd_tpu.data.pipeline import prefetch
 from basd_tpu.data.sources import (
-    dataset_info,
-    get_channel_stats,
-    get_subset_indices,
-    make_source,
+    source_from_config,
+    stats_from_config,
+    subset_indices_from_names,
 )
 from basd_tpu.parallel import mesh as meshlib
 
@@ -213,16 +212,23 @@ def run_eval_suite(
     efficiency_batches: int = 200,
 ) -> dict[str, Any]:
     datasets_to_eval = [config.data.dataset] + list(config.data.eval_datasets)
-    mean, std = get_channel_stats(config.data.dataset)
+    mean, std = stats_from_config(config)
     crop_ratio = config.data.eval_crop_ratio
-    primary_num_classes = dataset_info(config.data.dataset)["num_classes"]
+    primary_source = source_from_config(config)
+    primary_num_classes = primary_source.num_classes()
+    primary_names = primary_source.class_names()
 
     primary_results: dict = {}
     robustness_results: dict = {}
     for ds_name in datasets_to_eval:
-        source = make_source(ds_name, config.data.get("source", "hf"),
-                             num_workers=config.data.get("num_workers", 8))
-        valid_indices = get_subset_indices(ds_name, config.data.dataset)
+        source = (
+            primary_source
+            if ds_name == config.data.dataset
+            else source_from_config(config, ds_name)
+        )
+        valid_indices = subset_indices_from_names(
+            source.class_names(), primary_names
+        )
         num_classes = (
             len(valid_indices) if valid_indices is not None else primary_num_classes
         )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from basd_tpu.config import compose, register_resolvers, save_config
-from basd_tpu.data.sources import get_channel_stats, make_source
+from basd_tpu.data.sources import source_from_config, stats_from_config
 from basd_tpu.evaluation.metrics import run_eval_suite, save_metrics
 from basd_tpu.models import (
     create_model,
@@ -66,8 +66,7 @@ def main(argv: list[str] | None = None) -> None:
     # (reference: src/train.py:88-114)
     arch_overrides = None
     if teacher_bundle.info["feature_format"] == "token":
-        source = make_source(config.data.dataset, config.data.get("source", "hf"),
-                         num_workers=config.data.get("num_workers", 8))
+        source = source_from_config(config)
         tokens_per_image = (img_size // config.model.vit.patch_size) ** 2
         num_calib = -(-10 * teacher_bundle.info["embed_dim"] // tokens_per_image)
         r = round(img_size / config.data.eval_crop_ratio)
@@ -117,9 +116,8 @@ def main(argv: list[str] | None = None) -> None:
         f"has_cls={s_info['has_cls_token']} attn_subpath={s_info['attn_subpath']}"
     )
 
-    dataset_stats = get_channel_stats(config.data.dataset)
-    source = make_source(config.data.dataset, config.data.get("source", "hf"),
-                         num_workers=config.data.get("num_workers", 8))
+    dataset_stats = stats_from_config(config)
+    source = source_from_config(config)
 
     trainer = Trainer(
         config,
