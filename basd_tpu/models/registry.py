@@ -106,12 +106,13 @@ def _cnn_info(name: str, cfg, img_size: int) -> dict:
         depth = len(cfg.depths)
         layer_paths = [f"stages.{i}" for i in range(depth)]
         mlp_ratio = 4.0
-        reduction = 32
     else:
         depth = len(cfg.stage_sizes)
         layer_paths = [f"layer{i + 1}" for i in range(depth)]
         mlp_ratio = 0.0
-        reduction = 32
+    # stem /4, then /2 per subsequent stage (32 for the standard 4-stage
+    # layouts; correct for custom stage counts too)
+    reduction = 4 * 2 ** (depth - 1)
     n = (img_size // reduction) ** 2
     return {
         "embed_dim": cfg.embed_dim,
@@ -166,14 +167,39 @@ def create_model(
             ccfg = ResNetConfig(name=name, **preset)
             module = ResNet(ccfg, dtype=dtype)
         return ModelBundle(name, module, ccfg, _cnn_info(name, ccfg, img_size))
-    # Unlisted name: build a custom ViT from explicit arch kwargs. This is
-    # the registry's replacement for the reference's universal
+    # Unlisted name: build a custom model from explicit arch kwargs. This
+    # is the registry's replacement for the reference's universal
     # ``probe_model`` reflection (``src/models/teacher.py:42-110``) — any
-    # ViT-shaped model can be declared by its architecture facts instead of
-    # runtime-probing a torch module.
+    # ViT-shaped model can be declared by its architecture facts, and any
+    # ConvNeXt/ResNet-shaped CNN by its stage layout (kind= selects),
+    # instead of runtime-probing a torch module.
     ov = dict(arch_overrides or {})
+    kind = ov.pop("kind", "vit")
+    if kind == "convnext":
+        required_cnn = ("depths", "dims")
+        if not all(k in ov for k in required_cnn):
+            raise KeyError(
+                f"custom convnext {name!r} needs arch kwargs {required_cnn}"
+            )
+        ccfg = ConvNeXtConfig(
+            name=name, depths=tuple(ov["depths"]), dims=tuple(ov["dims"])
+        )
+        module = ConvNeXtV2(ccfg, dtype=dtype)
+        return ModelBundle(name, module, ccfg, _cnn_info(name, ccfg, img_size))
+    if kind == "resnet":
+        if "stage_sizes" not in ov:
+            raise KeyError(
+                f"custom resnet {name!r} needs arch kwarg 'stage_sizes'"
+            )
+        ccfg = ResNetConfig(
+            name=name,
+            stage_sizes=tuple(ov["stage_sizes"]),
+            width=int(ov.get("width", 64)),
+        )
+        module = ResNet(ccfg, dtype=dtype)
+        return ModelBundle(name, module, ccfg, _cnn_info(name, ccfg, img_size))
     required = ("embed_dim", "depth", "num_heads")
-    if all(k in ov for k in required):
+    if kind == "vit" and all(k in ov for k in required):
         cfg = ViTConfig(
             img_size=img_size,
             patch_size=int(ov.pop("patch_size", 16)),
@@ -190,7 +216,8 @@ def create_model(
         return ModelBundle(name, module, cfg, _vit_info(cfg))
     raise KeyError(
         f"unknown model preset {name!r} (and arch_overrides lacks "
-        f"{required} for a custom ViT); available: {available_models()}"
+        f"{required} for a custom ViT; use kind='convnext'/'resnet' with "
+        f"stage kwargs for a custom CNN); available: {available_models()}"
     )
 
 
@@ -266,6 +293,7 @@ def load_teacher(
     seed: int = 0,
     checkpoint_path: str | None = None,
     dtype=jnp.bfloat16,
+    arch_overrides: dict | None = None,
 ) -> tuple[ModelBundle, dict]:
     """Build the frozen teacher (reference: ``load_teacher``,
     ``src/models/teacher.py:113-148``). Returns (bundle, variables).
@@ -273,12 +301,19 @@ def load_teacher(
     ``checkpoint_path`` may point to a torch state-dict file (``.pth``) to
     port pretrained weights; otherwise the teacher is randomly
     initialized (no hub access in zero-egress environments).
+    ``arch_overrides`` declares an unlisted teacher by explicit arch
+    kwargs (``basd.teacher_arch`` in config): ViT facts, or
+    kind='convnext'/'resnet' stage kwargs for a custom CNN.
     """
-    is_vit = model_name in _VIT_PRESETS
+    ov = dict(arch_overrides or {})
+    is_vit = model_name in _VIT_PRESETS or (
+        model_name not in _CNN_PRESETS and ov.get("kind", "vit") == "vit"
+    )
     bundle = create_model(
         model_name,
         img_size=img_size,
         num_classes=0,
+        arch_overrides=arch_overrides,
         importance_mode="cls" if is_vit else None,
         dtype=dtype,
     )

@@ -54,12 +54,18 @@ def main(argv: list[str] | None = None) -> None:
         f"model={mesh.shape['model']} platform={jax.default_backend()}"
     )
 
+    teacher_arch = config.basd.get("teacher_arch")
     teacher_bundle, teacher_vars = load_teacher(
         config.basd.teacher_model_name,
         img_size,
         seed=config.run.seed,
         checkpoint_path=config.basd.get("teacher_checkpoint"),
         dtype=compute_dtype,
+        arch_overrides=(
+            teacher_arch.to_dict()
+            if hasattr(teacher_arch, "to_dict")
+            else dict(teacher_arch) if teacher_arch else None
+        ),
     )
 
     # calibration: intrinsic-dim student auto-sizing for token teachers

@@ -211,6 +211,57 @@ def test_unknown_preset_raises():
         create_model("not_a_model", img_size=224)
 
 
+def test_custom_cnn_from_arch_kwargs():
+    """Unlisted CNN teachers declared by explicit stage kwargs (VERDICT r2
+    #8 — completes the probe_model replacement for CNNs,
+    reference src/models/teacher.py:96-110)."""
+    b = create_model(
+        "my_convnext",
+        img_size=64,
+        arch_overrides=dict(kind="convnext", depths=(2, 2), dims=(32, 64)),
+    )
+    assert b.info["feature_format"] == "nhwc"
+    assert b.info["embed_dim"] == 64
+    assert b.info["depth"] == 2
+    assert b.info["heads_per_layer"] == [1]
+    # 2-stage reduction = 4 (stem) * 2 = 8 -> (64/8)^2 tokens, and the
+    # module's real feature map must agree with the probed metadata
+    assert b.info["num_tokens"] == 64
+    vs = init_model(b, jax.random.PRNGKey(0), 64)
+    feats = b.module.apply(
+        vs, jnp.zeros((1, 64, 64, 3), jnp.float32), deterministic=True
+    )["features"]
+    assert feats.shape[1] * feats.shape[2] == b.info["num_tokens"]
+
+    r = create_model(
+        "my_resnet",
+        img_size=64,
+        arch_overrides=dict(kind="resnet", stage_sizes=(1, 1, 1, 1), width=16),
+    )
+    assert r.info["feature_format"] == "nhwc"
+    assert r.info["depth"] == 4
+
+    # teacher path: extraction yields L=1 tokens + uniform importance
+    from basd_tpu.models.registry import load_teacher
+
+    bundle, variables = load_teacher(
+        "my_resnet",
+        64,
+        arch_overrides=dict(kind="resnet", stage_sizes=(1, 1, 1, 1), width=16),
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(RNG.standard_normal((2, 64, 64, 3)), jnp.float32)
+    tokens, imp = teacher_extract(bundle, variables, x)
+    assert tokens.shape[0] == 1 and tokens.shape[1] == 2
+    np.testing.assert_allclose(
+        np.asarray(imp), 1.0 / tokens.shape[2], rtol=1e-6
+    )
+
+    # missing stage kwargs is an actionable error
+    with pytest.raises(KeyError, match="depths"):
+        create_model("bad_cnn", img_size=64, arch_overrides=dict(kind="convnext"))
+
+
 def test_derive_student_arch_reference_semantics():
     info = dict(embed_dim=768, heads_per_layer=[12], depth=12, mlp_ratio=4.0)
     # head_dim 64; intrinsic 130 -> ceil(130/64)*64 = 192
