@@ -177,6 +177,11 @@ class _TorchScheduleFree:
             for p, x, z in zip(self.params, self.x, self.z):
                 p.copy_(self.b1 * x + (1.0 - self.b1) * z)
 
+    def set_eval_params(self):
+        with torch.no_grad():
+            for p, x in zip(self.params, self.x):
+                p.copy_(x)
+
     def step(self):
         self.k += 1
         lr_t = self.lr * math.sqrt(1.0 - self.b2**self.k)
@@ -328,3 +333,195 @@ def test_train_trajectory_matches_torch_reference():
     # drift must be small relative to how far training moved the params
     moved = np.linalg.norm(t_cls - init_cls)
     assert np.linalg.norm(j_cls - t_cls) <= 0.05 * max(moved, 1e-6)
+
+
+# --------------------------------------------------- epoch-loop parity
+
+
+@pytest.mark.slow
+def test_epoch_loop_matches_torch_reference(tmp_path):
+    """The REAL ``Trainer`` epoch loop — dual views -> MixUp/CutMix ->
+    distillation step -> smoothed-CE validation -> checkpoint — tracks a
+    torch reference mirror over 2 epochs on synthetic/tiny (VERDICT r2
+    directive #2; reference ``src/training/trainer.py:125-211``).
+
+    The mirror replays the trainer's exact RNG stream and shuffled batch
+    order, regenerates the SAME dual views and MixUp draws with the JAX
+    augmentation functions (whose torchvision/PIL parity is locked
+    op-by-op in tests/test_augment.py), rounds inputs through bf16
+    exactly as the trainer's step does, and runs the torch reference
+    step (teacher extract -> selector -> Procrustes -> UW-SO ->
+    schedule-free AdamW). Asserted: per-epoch train loss, val smoothed
+    CE, val accuracy, and final eval-parameter closeness.
+    """
+    from basd_tpu.data import augment as aug
+    from basd_tpu.models.registry import ModelBundle, _vit_info
+    from basd_tpu.parallel.mesh import make_mesh
+    from basd_tpu.training.trainer import Trainer
+    from tests.test_train_e2e import tiny_config
+
+    IMG2, BS, EPOCHS, LIMIT, EVAL_LIMIT = 32, 16, 2, 5, 2
+    S_P, S_D, T_P, T_D, DEPTH, HEADS = 16, 48, 8, 64, 3, 2
+    C = 10
+
+    torch.manual_seed(7)
+    student_t = _TorchViT(IMG2, S_P, S_D, DEPTH, HEADS, 2.0, C)
+    teacher_t = _TorchViT(IMG2, T_P, T_D, DEPTH, HEADS, 2.0, 1).eval()
+    for p in teacher_t.parameters():
+        p.requires_grad_(False)
+
+    def to_bundle(tm, patch, d, classes, name):
+        cfg = ViTConfig(
+            img_size=IMG2, patch_size=patch, embed_dim=d, depth=DEPTH,
+            num_heads=HEADS, mlp_ratio=2.0, num_classes=classes,
+            drop_path_rate=0.0,
+        )
+        module = VisionTransformer(
+            cfg, importance_mode="cls" if classes == 1 else None
+        )
+        params = vit_params_from_torch(
+            {k: v.numpy() for k, v in tm.timm_state_dict().items()},
+            DEPTH, False,
+        )
+        if classes == 0:
+            params.pop("head", None)
+        return ModelBundle(name, module, cfg, _vit_info(cfg)), params
+
+    s_bundle, s_params = to_bundle(student_t, S_P, S_D, C, "s")
+    t_bundle, t_params = to_bundle(teacher_t, T_P, T_D, 1, "t")
+
+    d_stats = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    t_stats = ((0.4, 0.4, 0.4), (0.3, 0.3, 0.3))
+    cfg = tiny_config(
+        tmp_path,
+        **{
+            "data.batch_size": BS,
+            "data.limit_train_batches": LIMIT,
+            "data.limit_eval_batches": EVAL_LIMIT,
+            "training.num_epochs": EPOCHS,
+            "basd.spectral_backend": "svd",
+            "model.drop_path_rate": 0.0,
+        },
+    )
+    mesh = make_mesh(data=1)
+    trainer = Trainer(
+        cfg,
+        student_bundle=s_bundle,
+        student_params=jax.tree_util.tree_map(jnp.asarray, s_params),
+        teacher_bundle=t_bundle,
+        teacher_vars={"params": jax.tree_util.tree_map(jnp.asarray, t_params)},
+        mesh=mesh,
+        dataset_stats=d_stats,
+        teacher_stats=t_stats,
+    )
+    selector_t = _TorchSelector(
+        np.asarray(trainer.sel_buffers["proj_s"]),
+        np.asarray(trainer.sel_buffers["proj_t"]),
+        cfg.basd.num_extraction_points,
+    )
+    extraction = trainer.token_layers
+    n_s_tokens = (IMG2 // S_P) ** 2
+    smooth = cfg.training.label_smoothing
+
+    from basd_tpu.data.sources import SyntheticSource
+
+    src = SyntheticSource("synthetic/tiny")
+    trainer.train(src, start_epoch=0)  # the REAL loop, incl. checkpoints
+
+    # ------------------------------------------------------ torch mirror
+    params_t = list(student_t.parameters()) + [selector_t.log_temperatures]
+    opt_t = _TorchScheduleFree(
+        params_t, cfg.training.learning_rate, cfg.training.weight_decay
+    )
+
+    def thru_bf16(x):  # the trainer's in-step .astype(bf16) input rounding
+        a = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+        return torch.from_numpy(a).permute(0, 3, 1, 2).contiguous()
+
+    r = round(IMG2 / cfg.data.eval_crop_ratio)
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    mirror_train_loss, mirror_val_loss, mirror_val_acc = [], [], []
+    for epoch in range(EPOCHS):
+        batches = src.load_batches(
+            "train", BS, r, shuffle=True,
+            seed=cfg.run.seed * 100003 + epoch, drop_last=True,
+        )
+        loss_sum, total = 0.0, 0
+        for i, batch in enumerate(batches):
+            if i >= LIMIT:
+                break
+            rng, step_rng = jax.random.split(rng)
+            k_view, k_mix, _ = jax.random.split(step_rng, 3)
+            clean, augd = aug.make_train_views(
+                k_view, jnp.asarray(batch["image"]), IMG2, d_stats, t_stats
+            )
+            mixed, mixed_targets = aug.mixup_cutmix(
+                k_mix, augd, jnp.asarray(batch["label"]), C, num_shards=1
+            )
+            opt_t.set_train_params()
+            with torch.no_grad():
+                _, t_tokens, t_attns = teacher_t(thru_bf16(clean))
+            logits_t, s_all, _ = student_t(thru_bf16(mixed))
+            s_list = [s_all[j] for j in extraction]
+            loss_t, _, _ = _torch_basd_loss(
+                logits_t, torch.from_numpy(np.asarray(mixed_targets)),
+                s_list, t_tokens, t_attns, selector_t, n_s_tokens, smooth,
+            )
+            for p in params_t:
+                p.grad = None
+            loss_t.backward()
+            opt_t.step()
+            loss_sum += float(loss_t) * BS
+            total += BS
+        mirror_train_loss.append(loss_sum / total)
+
+        # validation with eval (x) params and smoothed CE, like the
+        # trainer (reference trainer.py:184-188)
+        opt_t.set_eval_params()
+        ce_sum, top1, n_val = 0.0, 0, 0
+        for i, batch in enumerate(
+            src.load_batches("eval", BS, r, shuffle=False, seed=0,
+                             drop_last=False)
+        ):
+            if i >= EVAL_LIMIT:
+                break
+            x = aug.make_eval_view(jnp.asarray(batch["image"]), IMG2, d_stats)
+            with torch.no_grad():
+                logits, _, _ = student_t(thru_bf16(x))
+            labels = torch.from_numpy(np.asarray(batch["label"])).long()
+            ce_sum += float(
+                F.cross_entropy(logits, labels, label_smoothing=smooth,
+                                reduction="sum")
+            )
+            top1 += int((logits.argmax(-1) == labels).sum())
+            n_val += len(labels)
+        mirror_val_loss.append(ce_sum / n_val)
+        mirror_val_acc.append(100.0 * top1 / n_val)
+
+    hist = trainer.metrics_history
+    np.testing.assert_allclose(
+        hist["train_loss"], mirror_train_loss, rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        hist["loss"], mirror_val_loss, rtol=5e-3, atol=5e-4
+    )
+    # accuracy is a discrete count; allow one borderline sample per epoch
+    for e in range(EPOCHS):
+        assert abs(hist["val_acc"][e] - mirror_val_acc[e]) <= 100.0 / (
+            EVAL_LIMIT * BS
+        ) + 1e-6
+
+    # final eval-parameter closeness, relative to training movement
+    x_eval = sf.eval_params(trainer.opt_state)
+    j_cls = np.asarray(x_eval["student"]["cls_token"]).ravel()
+    t_cls = opt_t.x[[id(p) for p in params_t].index(
+        id(student_t.cls_token))].numpy().ravel()
+    np.testing.assert_allclose(j_cls, t_cls, rtol=1e-2, atol=1e-4)
+    j_tau = np.asarray(x_eval["basd"]["log_temperatures"])
+    np.testing.assert_allclose(j_tau, opt_t.x[-1].numpy(), rtol=1e-2,
+                               atol=1e-4)
+
+    # the loop's checkpoint artifacts exist (best + latest + final weights)
+    ckpt_dir = tmp_path / "tiny" / "checkpoints"
+    assert (ckpt_dir / "latest").exists()
+    assert (ckpt_dir / "final_model_weights").exists()
