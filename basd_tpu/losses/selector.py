@@ -124,33 +124,30 @@ def select_and_mix(
     t_tokens = jax.lax.stop_gradient(teacher_tokens)
     t_imp = jax.lax.stop_gradient(teacher_importance)
 
-    # flatten (B, N) BEFORE projecting: the (L, B, N, D) -> (L, M, D)
-    # reshape of the bf16 input is a free bitcast, and the f32 output is
-    # born flat — reshaping the projected f32 output instead traced at
-    # ~8 ms/step of pure layout copies at B=512
-    z_t = jnp.einsum(
-        "lmd,sd->lms",
-        t_tokens.reshape(L, -1, t_tokens.shape[-1]).astype(jnp.float32),
-        proj_t, precision=_PROJ_PREC,
-    )
-
-    z_s = jnp.einsum(
-        "pmd,sd->pms",
-        student_tokens.reshape(P, -1, student_tokens.shape[-1]).astype(
-            jnp.float32
-        ),
-        proj_s, precision=_PROJ_PREC,
-    )
+    t_flat = t_tokens.reshape(L, -1, t_tokens.shape[-1])
+    s_flat = student_tokens.reshape(P, -1, student_tokens.shape[-1])
+    m_t = t_flat.shape[1]
 
     r_cap = min(cfg.max_rank or d_s, d_s)
 
-    if cfg.backend in ("gram", "jacobi") and z_t.shape[1] >= d_s:
+    if cfg.backend in ("gram", "jacobi") and m_t >= d_s:
         # fused TPU path: ONE batched eigendecomposition covers the
         # teacher subspaces (centered, no-grad) and the student bases
         # (centered, differentiable). The MP-rank covariance spectra are
         # recovered from the teacher Gram spectra by a rank-one secular
         # update (Z^T Z = Gram_c + M mu mu^T) — elementwise bisection, no
         # extra eigh batch (see ops.linalg.rank_one_update_eigvals).
+        #
+        # Round-3 restructure: the (L, M, D_s) / (P, M, D_s) projected
+        # panels are never materialized. Z^T Z = P (T^T T) P^T, so the
+        # Grams are computed in TOKEN space from the bf16 activations
+        # directly and sandwich-projected by the frozen orthogonal maps.
+        # bf16 x bf16 products are EXACT in f32 (8+8 mantissa bits < 24),
+        # so the DEFAULT-precision MXU einsum with f32 accumulation is
+        # both exact-per-product and full-rate — more accurate AND faster
+        # than the previous 3-pass-f32 projection chain, and it frees
+        # ~1.2 GB of per-step HBM at B=512 (~2.4 GB at B=1024, the
+        # difference that makes batch 1024 fit).
         from basd_tpu.ops.linalg import (
             HI,
             _safe_sqrt,
@@ -158,19 +155,26 @@ def select_and_mix(
             safe_eigh,
         )
 
-        m_t = z_t.shape[1]
-        mu_t = jnp.mean(z_t, axis=1)  # (L, D)
-        z_tc = z_t - mu_t[:, None, :]
-        # 3-pass f32 emulation on the Grams (~1e-6 relative): rank
-        # thresholds compare O(1) eigenvalues, where 1e-6 noise is far
-        # below the batch-to-batch rank variation (+-2); bench.py prints
-        # the observed ranks as the canary. Halves the two largest
-        # selector contractions vs 6-pass HIGHEST.
-        gram_tc = jnp.einsum("lmi,lmj->lij", z_tc, z_tc,
-                             precision=_PROJ_PREC)
-        z_sc = z_s - jnp.mean(z_s, axis=1, keepdims=True)
-        gram_sc = jnp.einsum("pmi,pmj->pij", z_sc, z_sc,
-                             precision=_PROJ_PREC)
+        def token_gram(flat):  # (K, M, D) -> (K, D, D), f32
+            prec = None if flat.dtype == jnp.bfloat16 else _PROJ_PREC
+            return jnp.einsum(
+                "kmd,kme->kde", flat, flat,
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+
+        mu_t = jnp.mean(t_flat, axis=1, dtype=jnp.float32) @ proj_t.T  # (L, D_s)
+        sand_t = jnp.einsum(
+            "si,lij,tj->lst", proj_t, token_gram(t_flat), proj_t,
+            precision=HI,
+        )
+        gram_tc = sand_t - m_t * mu_t[:, :, None] * mu_t[:, None, :]
+
+        mu_s = jnp.mean(s_flat, axis=1, dtype=jnp.float32) @ proj_s.T
+        sand_s = jnp.einsum(
+            "si,pij,tj->pst", proj_s, token_gram(s_flat), proj_s,
+            precision=HI,
+        )
+        gram_sc = sand_s - s_flat.shape[1] * mu_s[:, :, None] * mu_s[:, None, :]
 
         stacked = jnp.concatenate(
             [jax.lax.stop_gradient(gram_tc), gram_sc], axis=0
@@ -204,6 +208,16 @@ def select_and_mix(
         svals_t = _safe_sqrt(w_t)[:, :r_cap]
         basis_s = v_all[L:, :, ::-1][:, :, :r_cap]
     else:
+        # parity path ('svd', or tiny M < D_s): materialize the projected
+        # panels exactly as the reference does (layer_selector.py:51-56)
+        z_t = jnp.einsum(
+            "lmd,sd->lms", t_flat.astype(jnp.float32), proj_t,
+            precision=_PROJ_PREC,
+        )
+        z_s = jnp.einsum(
+            "pmd,sd->pms", s_flat.astype(jnp.float32), proj_s,
+            precision=_PROJ_PREC,
+        )
         rank_impl = "jacobi" if cfg.backend == "jacobi" else "xla"
         ref_ranks = jnp.minimum(
             marchenko_pastur_rank(z_t, impl=rank_impl), d_s - 1

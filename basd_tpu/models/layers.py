@@ -25,6 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # f32 accumulation for attention logits on TPU
 _HI = jax.lax.Precision.HIGHEST
@@ -151,6 +152,9 @@ class Attention(nn.Module):
                 ).astype(self.dtype)
                 out = jnp.einsum("bhqk,bkhe->bqhe", probs, v)
 
+        # named for the 'dots' remat policy: lets the backward keep the
+        # attention output instead of re-running the flash kernel
+        out = checkpoint_name(out, "attn_out")
         out = out.reshape(b, n, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
         return out, importance

@@ -136,6 +136,7 @@ def create_model(
     arch_overrides: dict | None = None,
     importance_mode: Optional[str] = None,
     remat: bool = False,
+    remat_policy=None,
     dtype=jnp.float32,
 ) -> ModelBundle:
     """Build a model by preset name (the reference's
@@ -154,7 +155,8 @@ def create_model(
             **preset,
         ).with_overrides(arch_overrides)
         module = VisionTransformer(
-            cfg, importance_mode=importance_mode, remat=remat, dtype=dtype
+            cfg, importance_mode=importance_mode, remat=remat,
+            remat_policy=remat_policy, dtype=dtype
         )
         return ModelBundle(name, module, cfg, _vit_info(cfg))
     if name in _CNN_PRESETS:
@@ -211,7 +213,8 @@ def create_model(
             **{k: ov[k] for k in ov},
         )
         module = VisionTransformer(
-            cfg, importance_mode=importance_mode, remat=remat, dtype=dtype
+            cfg, importance_mode=importance_mode, remat=remat,
+            remat_policy=remat_policy, dtype=dtype
         )
         return ModelBundle(name, module, cfg, _vit_info(cfg))
     raise KeyError(

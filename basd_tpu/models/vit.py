@@ -68,6 +68,13 @@ class VisionTransformer(nn.Module):
     cfg: ViTConfig
     importance_mode: Optional[str] = None
     remat: bool = False
+    # remat policy: None = full recompute (reference
+    # set_grad_checkpointing semantics); 'dots' = save matmul/attention
+    # outputs and recompute only elementwise ops in the backward
+    # (jax.checkpoint_policies.checkpoint_dots + the flash-attention
+    # output named 'attn_out') — near remat=False memory-FLOP tradeoff
+    # without re-running flash attention in the backward.
+    remat_policy: Optional[str] = None
     # unroll the block scan: better XLA layouts/fusion at small depth
     # (scan carries forced batch-minor relayouts, traced ~40ms/step);
     # compile time rises accordingly.
@@ -105,7 +112,16 @@ class VisionTransformer(nn.Module):
 
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block, prevent_cse=False)
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names("attn_out"),
+                )
+            elif self.remat_policy in (None, "full"):
+                policy = None
+            else:
+                raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+            block_cls = nn.remat(Block, prevent_cse=False, policy=policy)
         blocks = nn.scan(
             block_cls,
             variable_axes={"params": 0},

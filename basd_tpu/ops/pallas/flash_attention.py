@@ -16,11 +16,14 @@ dS = P (dP - rowsum(dO * O)), dQ = scale dS K, dK = scale dS^T Q.
 
 Layout: q, k, v, o are (B, N, H, E) — the model's native token layout
 (heads folded in the feature (minor) axis; see ``basd_tpu.models.layers``)
-— viewed as (B, N, H*E) slabs, so blocks are (block_b, pad128(N), H*E)
-with fully aligned trailing dims (Mosaic requires the last two block dims
-to be (8, 128)-divisible or array-equal); heads are static lane slices of
-the slab. N is masked to any size; E must keep H*E 128-aligned (E=64 with
-even H, or E a multiple of 128... in practice ViT heads are 64-wide).
+— viewed as (B, N, H*E) slabs, so blocks are (block_b, N, H*E): Mosaic
+requires the last two block dims to be (8, 128)-divisible OR ARRAY-EQUAL,
+and declaring the token axis at its true N (197 for 224px ViT) instead of
+pad128(N)=256 hands padding to Mosaic's 8-sublane granularity — ~22%
+less matmul/softmax work than the round-2 version, and no explicit
+padding masks (Mosaic masks its own internal padding). Heads are static
+lane slices of the slab; E must keep H*E 128-aligned (E=64 with even H —
+in practice ViT heads are 64-wide).
 
 Semantics match the einsum path: softmax in f32, probabilities cast to
 the input dtype for the PV matmul (reference AMP behavior:
@@ -36,38 +39,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = -1e30
-
-
-def _pad128(n: int) -> int:
-    return ((n + 127) // 128) * 128
-
-
-def _row_mask(x, n):
-    """Zero rows >= n (block padding reads are unspecified; 0 * garbage
-    in the matmuls must stay 0, not NaN)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(rows < n, x, jnp.zeros((), x.dtype))
-
-
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *imp_ref,
                 n: int, h: int, e: int, scale: float):
     imp_acc = None
     for i in range(h):
         sl = slice(i * e, (i + 1) * e)
-        # q/k need no padding mask: padded q ROWS produce garbage output
-        # rows that the partial-block store discards, and padded k
-        # columns are overwritten with -1e30 by kmask below. v DOES need
-        # it: pn is exactly 0 at padded keys, but 0 * NaN-garbage = NaN.
+        # blocks are array-equal in (N, H*E): no explicit padding masks —
+        # Mosaic owns (and masks) its internal sublane/lane padding.
         q = q_ref[:, :, sl]
         k = k_ref[:, :, sl]
-        v = _row_mask(v_ref[:, :, sl], n)
+        v = v_ref[:, :, sl]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # (G, NP, NP)
-        kmask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) < n
-        s = jnp.where(kmask, s, _NEG)
+        ) * scale  # (G, N, N)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -97,21 +82,18 @@ def _bwd_kernel(
 ):
     for i in range(h):
         sl = slice(i * e, (i + 1) * e)
-        q = _row_mask(q_ref[:, :, sl], n)
-        k = _row_mask(k_ref[:, :, sl], n)
-        v = _row_mask(v_ref[:, :, sl], n)
-        o = _row_mask(o_ref[:, :, sl].astype(jnp.float32), n)
-        do = _row_mask(do_ref[:, :, sl].astype(jnp.float32), n)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        o = o_ref[:, :, sl].astype(jnp.float32)
+        do = do_ref[:, :, sl].astype(jnp.float32)
         lse = lse_ref[:, i, :]
 
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # (G, NP, NP)
-        qmask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < n
-        kmask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) < n
+        ) * scale  # (G, N, N)
         p = jnp.exp(s - lse[:, :, None])
-        p = jnp.where(qmask & kmask, p, 0.0)  # padded rows/cols (NaN guard)
 
         dob = do.astype(q.dtype)
         dv = jax.lax.dot_general(
@@ -150,10 +132,12 @@ def _pick_block_b(b: int, cap: int = 8) -> int:
 
 
 def _specs(b, n, h, e, g):
-    np_ = _pad128(n)
-    qkv = pl.BlockSpec((g, np_, h * e), lambda i: (i, 0, 0),
+    # array-equal trailing dims: (N, H*E) for the slabs, (H, N) for lse —
+    # Mosaic accepts non-(8,128)-divisible block dims when they equal the
+    # array dims, and handles its own internal padding
+    qkv = pl.BlockSpec((g, n, h * e), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((g, h, np_), lambda i: (i, 0, 0),
+    lse = pl.BlockSpec((g, h, n), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     return qkv, lse
 
@@ -163,8 +147,7 @@ def _fwd(q, k, v, scale, interpret, with_importance=False):
     g = _pick_block_b(b)
     qkv_spec, lse_spec = _specs(b, n, h, e, g)
     kernel = functools.partial(_fwd_kernel, n=n, h=h, e=e, scale=scale)
-    np_ = _pad128(n)
-    imp_spec = pl.BlockSpec((g, np_), lambda i: (i, 0),
+    imp_spec = pl.BlockSpec((g, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = (qkv_spec, lse_spec) + ((imp_spec,) if with_importance else ())
     out_shape = (

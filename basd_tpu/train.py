@@ -108,6 +108,7 @@ def main(argv: list[str] | None = None) -> None:
         arch_overrides=arch_overrides,
         importance_mode=None,
         remat=bool(config.tpu.get("remat", True)),
+        remat_policy=config.tpu.get("remat_policy"),
         dtype=compute_dtype,
     )
     student_vars = init_model(

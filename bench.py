@@ -34,10 +34,14 @@ import numpy as np
 
 A100_REF_IMG_PER_SEC = 1200.0
 
-BATCH_SIZE = 512
+# experiment knobs (defaults = the recorded configuration)
+import os
+
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 512))
 WARMUP_STEPS = 5
-TIMED_STEPS = 30
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 30))
 IMG = 224
+_REMAT = os.environ.get("BENCH_REMAT", "full")  # full | dots | none
 
 
 def main() -> None:
@@ -100,7 +104,9 @@ def main() -> None:
     t_vars = init_model(teacher, jax.random.PRNGKey(1), IMG)
     student = create_model(
         "deit_tiny_patch16_224", img_size=IMG, num_classes=100,
-        drop_path_rate=0.1, remat=True, dtype=jnp.bfloat16,
+        drop_path_rate=0.1, remat=_REMAT != "none",
+        remat_policy="dots" if _REMAT == "dots" else None,
+        dtype=jnp.bfloat16,
     )
     s_vars = init_model(student, jax.random.PRNGKey(2), IMG, fan_in_init=True)
 
