@@ -93,19 +93,28 @@ class Attention(nn.Module):
         h = self.num_heads
         hd = d // h
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+
         # keep activations in (B, N, H, E) — heads stay folded in the
         # feature (minor) axis; the score einsums batch over (b, h)
         # without a physical (B, H, N, E) relayout, which XLA otherwise
         # propagates into batch-minor activation layouts for the whole
-        # block chain (traced as ~3ms transpose fusions per layer).
-        q = q.reshape(b, n, h, hd)
-        k = k.reshape(b, n, h, hd)
-        v = v.reshape(b, n, h, hd)
+        # block chain (traced as ~3ms transpose fusions per layer). The
+        # flash path skips even the q/k/v split: the Pallas kernel
+        # consumes the fused (B, N, 3D) slab directly (the split traced
+        # at ~0.74 ms/layer of HBM copies at B=512).
+        def split_qkv():
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            return (
+                q.reshape(b, n, h, hd),
+                k.reshape(b, n, h, hd),
+                v.reshape(b, n, h, hd),
+            )
+
         scale = hd**-0.5
 
         importance = None
         if self.importance_mode == "mean":
+            q, k, v = split_qkv()
             logits = jnp.einsum(
                 "bqhe,bkhe->bhqk", q, k, precision=_HI
             ).astype(jnp.float32) * scale
@@ -120,32 +129,33 @@ class Attention(nn.Module):
                 impl = (
                     "flash" if jax.default_backend() == "tpu" else "einsum"
                 )
-            if self.importance_mode == "cls" and impl != "flash":
-                # CLS query row only: (B, H, N) logits -> softmax -> strip
-                # the CLS key and mean over heads (reference:
-                # src/losses/relational.py:24).
-                cls_logits = jnp.einsum(
-                    "bhe,bkhe->bhk", q[:, 0], k, precision=_HI
-                ).astype(jnp.float32) * scale
-                cls_probs = jax.nn.softmax(cls_logits, axis=-1)
-                importance = jnp.mean(cls_probs[..., 1:], axis=1)  # (B, N-1)
             if impl == "flash":
                 from basd_tpu.ops.pallas.flash_attention import (
-                    flash_attention,
-                    flash_attention_with_importance,
+                    flash_attention_qkv,
+                    flash_attention_qkv_with_importance,
                 )
 
                 interp = jax.default_backend() != "tpu"
                 if self.importance_mode == "cls":
                     # frozen-teacher path (forward-only): importance is
                     # the head-mean CLS softmax row from the same kernel
-                    out, imp_full = flash_attention_with_importance(
-                        q, k, v, float(scale), interp
+                    out, imp_full = flash_attention_qkv_with_importance(
+                        qkv, h, float(scale), interp
                     )
                     importance = imp_full[:, 1:]  # strip the CLS key
                 else:
-                    out = flash_attention(q, k, v, float(scale), interp)
+                    out = flash_attention_qkv(qkv, h, float(scale), interp)
             else:
+                q, k, v = split_qkv()
+                if self.importance_mode == "cls":
+                    # CLS query row only: (B, H, N) logits -> softmax ->
+                    # strip the CLS key and mean over heads (reference:
+                    # src/losses/relational.py:24).
+                    cls_logits = jnp.einsum(
+                        "bhe,bkhe->bhk", q[:, 0], k, precision=_HI
+                    ).astype(jnp.float32) * scale
+                    cls_probs = jax.nn.softmax(cls_logits, axis=-1)
+                    importance = jnp.mean(cls_probs[..., 1:], axis=1)
                 scores = jnp.einsum("bqhe,bkhe->bhqk", q, k) * scale
                 probs = jax.nn.softmax(
                     scores.astype(jnp.float32), axis=-1
