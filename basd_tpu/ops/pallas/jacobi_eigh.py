@@ -43,6 +43,27 @@ for the QDWH custom-call (bench: 294 -> 286 ms/step) — the 'jacobi'
 backend uses it there. At (16, 192, 192) the 2(n-1)*sweeps sequential
 rounds cost ~31 ms vs QDWH's ~17 ms, so the stacked subspace eigh stays
 on XLA regardless of backend.
+
+Why the (L+P, 192, 192) stacked eigh cannot be shrunk either (round-3
+analysis, closing the "win or retire 192^2" question):
+
+- *Rank-cap projection* (randomized range finder to r_cap=96 before the
+  eigh) breaks MP-rank semantics: the noise threshold's sigma^2 is the
+  MEDIAN covariance eigenvalue — the 96th of 192 ascending
+  (selector.py sigma2 line, reference layer_selector.py:69-74) — which
+  lives in exactly the part of the spectrum a top-subspace sketch
+  discards. The full spectrum is required, and computing it separately
+  (eigvalsh) costs as much as the factorization.
+- *Eigenvector-free reformulation* (spectral projectors via a matrix
+  sign / polar function shifted at the MP threshold) still needs the
+  sorted eigenvalues twice: for the median above, and because the
+  principal-angle distance weights each direction by its singular value
+  (spectral_grassmann_distance_sq) — a projector collapses precisely
+  that grading.
+
+So eigenvalues are inescapable, ordered, and full-spectrum; QDWH's
+measured 17 ms at (16, 192, 192) stands as the best available and the
+Jacobi kernel is scoped to the principal-angle batch where it wins.
 """
 
 from __future__ import annotations
