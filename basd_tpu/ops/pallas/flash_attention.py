@@ -124,6 +124,88 @@ def _bwd_kernel(
         )
 
 
+def _fwd_kernel_hp(q_ref, k_ref, v_ref, o_ref, imp_ref,
+                   *, n: int, h: int, e: int, scale: float):
+    """Head-pair grid forward (importance path): one program = one
+    (batch-tile, head-pair) cell.
+
+    The qkv slab is passed THREE times with different lane index maps, so
+    each program DMAs only its pair's (G, N, 2E) q/k/v slices (2E = 128
+    lanes, the minimum Mosaic lane block). The (G, N, N) f32 score
+    working set is h/2-fold smaller than the head-loop kernel's, letting
+    the batch tile grow and Mosaic pipeline pair j+1's DMA under pair
+    j's compute. No lse output: this lowering serves the forward-only
+    frozen-teacher extraction (even head count; odd h falls back to the
+    head-loop kernel)."""
+    acc = None
+    for i in range(2):
+        q = q_ref[:, :, i * e:(i + 1) * e]
+        k = k_ref[:, :, i * e:(i + 1) * e]
+        v = v_ref[:, :, i * e:(i + 1) * e]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (G, N, N)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[:, :, i * e:(i + 1) * e] = o.astype(o_ref.dtype)
+        row0 = p[:, 0, :] / (l[:, 0] * h)  # (G, N), pre-divided head mean
+        acc = row0 if acc is None else acc + row0
+    # head-mean CLS-row importance accumulated across the (sequential)
+    # head-pair grid dimension into the revisited block
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        imp_ref[...] = acc
+
+    @pl.when(j > 0)
+    def _acc():
+        imp_ref[...] += acc
+
+
+def _fwd_hp(qkv, n, h, e, scale, interpret):
+    """Head-pair-grid (o, importance) forward; requires h % 2 == 0."""
+    b = qkv.shape[0]
+    d = h * e
+    hp = h // 2
+    g = _pick_block_b(b, cap=_HP_BLOCK_B)
+    head_spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (g, n, 2 * e), lambda i, j, off=off: (i, 0, off + j),
+        memory_space=pltpu.VMEM,
+    )
+    o_spec = pl.BlockSpec((g, n, 2 * e), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    imp_spec = pl.BlockSpec((g, n), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel_hp, n=n, h=h, e=e, scale=scale)
+    o, imp = pl.pallas_call(
+        kernel,
+        grid=(b // g, hp),
+        in_specs=[head_spec(0), head_spec(hp), head_spec(2 * hp)],
+        out_specs=(o_spec, imp_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # the head-pair dim revisits the importance block -> sequential
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return o, imp
+
+
+_HP_BLOCK_B = 16
+
+
 def _pick_block_b(b: int, cap: int = 8) -> int:
     """Images per program. G=8 traced fastest for the forward at B=512
     (1.78 ms/layer vs 2.01 at G=32 — bigger blocks lose more to VMEM
@@ -246,6 +328,8 @@ def flash_attention_qkv_with_importance(
     trainable cls-importance model)."""
     b, n, d3 = qkv.shape
     e = d3 // 3 // num_heads
+    if num_heads % 2 == 0:
+        return _fwd_hp(qkv, n, num_heads, e, scale, interpret)
     o, _, imp = _fwd(qkv, n, num_heads, e, scale, interpret,
                      with_importance=True)
     return o, imp
