@@ -48,13 +48,60 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares ``{kernel, bias}`` exactly as ``nn.Dense`` would (same
+    names, shapes, initializers -> identical param tree and init draws)
+    without running the matmul — used by the fused-MLP path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    # 'auto': fused Pallas kernel on the bf16 TPU path, Dense elsewhere;
+    # 'fused' / 'dense' force a path.
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
+        impl = self.mlp_impl
+        if impl == "auto":
+            impl = (
+                "fused"
+                if (
+                    jax.default_backend() == "tpu"
+                    and self.dtype == jnp.bfloat16
+                    and x.ndim == 3
+                )
+                else "dense"
+            )
+        if impl == "fused":
+            # one VMEM-resident kernel for fc1 -> tanh-GELU -> fc2: the
+            # (B, N, F) hidden state never touches HBM (see
+            # ops/pallas/fused_mlp.py). bf16-only: its tanh-GELU matches
+            # the Dense branch's bf16 choice below.
+            from basd_tpu.ops.pallas.fused_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            w2, b2 = _DenseParams(self.out_dim, name="fc2")(self.hidden_dim)
+            return fused_mlp(
+                x,
+                w1.astype(self.dtype),
+                b1,
+                w2.astype(self.dtype),
+                b2,
+                jax.default_backend() != "tpu",
+            )
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         # exact-erf GELU is the parity default (torch nn.GELU,
         # reference src/models/*). On the bf16 path the tanh
@@ -238,6 +285,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
     attention_impl: str = "auto"
+    mlp_impl: str = "auto"
     # keep XLA from fusing the LayerNorm statistic reductions into the
     # producer matmul's epilogue (experiment flag; see scripts/bench_parts)
     ln_barrier: bool = False
@@ -266,7 +314,8 @@ class Block(nn.Module):
         )(y, drop_path_rate)
 
         y = Mlp(
-            int(d * self.mlp_ratio), d, dtype=self.dtype, name="mlp"
+            int(d * self.mlp_ratio), d, dtype=self.dtype,
+            mlp_impl=self.mlp_impl, name="mlp"
         )(_ln(x, "norm2"))
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name="ls2")(y)

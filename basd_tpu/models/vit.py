@@ -81,6 +81,7 @@ class VisionTransformer(nn.Module):
     unroll: int = 12
     ln_barrier: bool = False
     attention_impl: str = "auto"
+    mlp_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -142,6 +143,7 @@ class VisionTransformer(nn.Module):
             norm_eps=cfg.norm_eps,
             ln_barrier=self.ln_barrier,
             attention_impl=self.attention_impl,
+            mlp_impl=self.mlp_impl,
             name="blocks",
         )
         x, (tokens, importance) = blocks(x, rates)

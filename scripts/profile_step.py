@@ -93,12 +93,16 @@ def main() -> None:
             b = "views/augment"
         elif re.search(r"transpose\(images\)|convert_element_type\(images\)", n):
             b = "views/augment"
-        elif re.search(r"teacher", n):
-            b = "teacher fwd"
         elif re.search(r"backward|transpose\(jvp|grad", n):
             b = "student bwd"
+        elif re.search(r"jvp\(visiontransformer\)", n):
+            b = "student fwd"
+        elif re.search(r"teacher|visiontransformer", n):
+            # the frozen teacher runs OUTSIDE value_and_grad: its ops are
+            # the plain (non-jvp) VisionTransformer scope
+            b = "teacher fwd"
         elif re.search(r"student|vision|loss_fn", n):
-            b = "student fwd/loss"
+            b = "loss fwd"
         else:
             b = "other"
         buckets[b] += dur
