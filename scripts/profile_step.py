@@ -93,15 +93,21 @@ def main() -> None:
             b = "views/augment"
         elif re.search(r"transpose\(images\)|convert_element_type\(images\)", n):
             b = "views/augment"
-        elif re.search(r"backward|transpose\(jvp|grad", n):
+        elif re.search(r"transpose\(jvp\(visiontransformer", n):
             b = "student bwd"
+        elif re.search(r"backward|transpose\(jvp|grad", n):
+            # transpose(jvp(...)) scopes that are NOT the student model:
+            # selector / Procrustes / CE backward
+            b = "loss bwd"
         elif re.search(r"jvp\(visiontransformer\)", n):
             b = "student fwd"
         elif re.search(r"teacher|visiontransformer", n):
             # the frozen teacher runs OUTSIDE value_and_grad: its ops are
             # the plain (non-jvp) VisionTransformer scope
             b = "teacher fwd"
-        elif re.search(r"student|vision|loss_fn", n):
+        elif re.search(r"jvp\(|student|vision|loss_fn", n):
+            # jvp(...) forward scopes outside the student model: the loss
+            # math under value_and_grad (Grams, NS polar, Jacobi, CE)
             b = "loss fwd"
         else:
             b = "other"
