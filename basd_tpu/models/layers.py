@@ -64,6 +64,67 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Declares ``{scale, bias}`` exactly as ``FusedLayerNorm`` /
+    ``nn.LayerNorm`` would (same names, shapes, initializers) without
+    running the normalization — used by the fused LN+MLP block path."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        s = self.param("scale", nn.initializers.ones, (d,))
+        b = self.param("bias", nn.initializers.zeros, (d,))
+        return s, b
+
+
+class _MlpParams(nn.Module):
+    """Declares the ``Mlp`` param tree (fc1/fc2 kernel+bias, identical
+    names/shapes/inits) without running it — fused LN+MLP block path."""
+
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        w1, b1 = _DenseParams(self.hidden_dim, name="fc1")(in_dim)
+        w2, b2 = _DenseParams(self.out_dim, name="fc2")(self.hidden_dim)
+        return w1, b1, w2, b2
+
+
+class _LSParams(nn.Module):
+    """Declares ``gamma`` exactly as ``LayerScale`` would (same name,
+    shape, init) without applying it — the fused LN+MLP block path folds
+    it into the fc2 weights instead."""
+
+    init_value: float
+
+    @nn.compact
+    def __call__(self, d: int):
+        return self.param(
+            "gamma", nn.initializers.constant(self.init_value), (d,)
+        )
+
+
+class _DropPathMask(nn.Module):
+    """Draws the per-sample stochastic-depth MULTIPLIER (0 or 1/keep)
+    instead of applying it — the fused LN+MLP kernel applies it in-VMEM.
+    Named identically to the ``DropPath`` it replaces so the flax rng
+    stream (path-keyed) and therefore the drawn mask are bit-identical
+    to the unfused branch."""
+
+    rate_max: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, b: int, rate):
+        if self.rate_max == 0.0 or self.deterministic:
+            return jnp.ones((b,), jnp.float32)
+        keep = 1.0 - rate
+        rng = self.make_rng("droppath")
+        # (b, 1, 1) draw shape matches DropPath's bernoulli call exactly
+        m = jax.random.bernoulli(rng, keep, (b, 1, 1)).reshape(b)
+        return jnp.where(m, 1.0 / keep, 0.0).astype(jnp.float32)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -313,15 +374,61 @@ class Block(nn.Module):
             self.drop_path_max, self.deterministic, name="drop_path1"
         )(y, drop_path_rate)
 
-        y = Mlp(
-            int(d * self.mlp_ratio), d, dtype=self.dtype,
-            mlp_impl=self.mlp_impl, name="mlp"
-        )(_ln(x, "norm2"))
-        if self.layerscale_init is not None:
-            y = LayerScale(self.layerscale_init, name="ls2")(y)
-        x = x + DropPath(
-            self.drop_path_max, self.deterministic, name="drop_path2"
-        )(y, drop_path_rate)
+        # MLP half: the bf16 TPU path folds LN2 + MLP + DropPath +
+        # residual into ONE Pallas kernel (fused_block_mlp) — same param
+        # tree, same rng stream, math identical to the unfused chain up
+        # to one bf16 rounding in the mask/residual arithmetic.
+        # LayerScale (dinov2) folds gamma into the fc2 weights OUTSIDE
+        # the kernel — plain differentiable jnp ops, so gradients reach
+        # both w2 and gamma exactly. ln_barrier experiments keep the
+        # module chain.
+        mlp_impl = self.mlp_impl
+        if mlp_impl == "auto":
+            mlp_impl = (
+                "fused_ln"
+                if (
+                    jax.default_backend() == "tpu"
+                    and self.dtype == jnp.bfloat16
+                    and not self.ln_barrier
+                    and x.ndim == 3
+                )
+                else "module"
+            )
+        elif mlp_impl == "fused_ln" and self.ln_barrier:
+            mlp_impl = "module"
+
+        if mlp_impl == "fused_ln":
+            from basd_tpu.ops.pallas.fused_block_mlp import fused_ln_mlp
+
+            ln_s, ln_b = _LNParams(name="norm2")(d)
+            w1, b1, w2, b2 = _MlpParams(
+                int(d * self.mlp_ratio), d, name="mlp"
+            )(d)
+            if self.layerscale_init is not None:
+                gamma = _LSParams(self.layerscale_init, name="ls2")(d)
+                gf = gamma.astype(jnp.float32)
+                w2 = w2 * gf[None, :]
+                b2 = b2 * gf
+            mask = _DropPathMask(
+                self.drop_path_max, self.deterministic, name="drop_path2"
+            )(x.shape[0], drop_path_rate)
+            x = fused_ln_mlp(
+                x, mask,
+                ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                float(self.norm_eps), jax.default_backend() != "tpu",
+            )
+        else:
+            y = Mlp(
+                int(d * self.mlp_ratio), d, dtype=self.dtype,
+                mlp_impl="auto" if mlp_impl == "module" else mlp_impl,
+                name="mlp",
+            )(_ln(x, "norm2"))
+            if self.layerscale_init is not None:
+                y = LayerScale(self.layerscale_init, name="ls2")(y)
+            x = x + DropPath(
+                self.drop_path_max, self.deterministic, name="drop_path2"
+            )(y, drop_path_rate)
 
         # per-layer collected outputs: cls-stripped tokens (reference
         # strips cls in hooks: teacher.py:202, trainer.py:29)

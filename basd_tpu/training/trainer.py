@@ -125,6 +125,19 @@ class Trainer:
         t_stats = self.teacher_stats
         num_classes = self.num_classes
         num_shards = self.mesh.shape["data"]
+        # bf16 students on TPU take bf16 views: the models cast their
+        # input to bf16 anyway, so emitting bf16 from the view pipeline
+        # is value-identical while saving two (B, S, S, 3) f32 slabs and
+        # half the MixUp blend traffic per step. The f32 path (CPU
+        # tests, f32 models) is untouched.
+        views_dtype = (
+            jnp.bfloat16
+            if (
+                jax.default_backend() == "tpu"
+                and getattr(student, "dtype", jnp.float32) == jnp.bfloat16
+            )
+            else jnp.float32
+        )
         # static per-layer slices (a traced index array would lower the
         # extraction gather's backward to a scatter-add over the full
         # (L, B, N, D) stack — traced ~3 ms/step)
@@ -133,7 +146,8 @@ class Trainer:
         def step(opt_state, teacher_vars, sel_buffers, images_u8, labels, rng):
             k_view, k_mix, k_drop = jax.random.split(rng, 3)
             clean, augmented = aug.make_train_views(
-                k_view, images_u8, img_size, d_stats, t_stats
+                k_view, images_u8, img_size, d_stats, t_stats,
+                out_dtype=views_dtype,
             )
             mixed, mixed_targets = aug.mixup_cutmix(
                 k_mix, augmented, labels, num_classes, num_shards=num_shards

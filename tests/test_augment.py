@@ -222,6 +222,51 @@ def test_make_train_views_shapes_and_clean_parity():
     np.testing.assert_allclose(np.asarray(clean), ref, rtol=1e-5, atol=1e-5)
 
 
+def test_make_train_views_bf16_is_exact_cast_of_f32():
+    """out_dtype=bfloat16 must be value-identical to computing the f32
+    views and casting afterwards — the cast is simply moved inside the
+    jit (all augmentation math stays f32)."""
+    b, r, s = 4, 40, 32
+    u8 = jnp.asarray(RNG.integers(0, 256, (b, r, r, 3), dtype=np.uint8))
+    t_stats = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    d_stats = ((0.4, 0.4, 0.4), (0.3, 0.3, 0.3))
+    key = jax.random.PRNGKey(0)
+    clean32, aug32 = A.make_train_views(key, u8, s, d_stats, t_stats)
+    clean16, aug16 = A.make_train_views(
+        key, u8, s, d_stats, t_stats, out_dtype=jnp.bfloat16
+    )
+    assert clean16.dtype == jnp.bfloat16 and aug16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(clean32.astype(jnp.bfloat16), np.float32),
+        np.asarray(clean16, np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(aug32.astype(jnp.bfloat16), np.float32),
+        np.asarray(aug16, np.float32),
+    )
+
+
+def test_mixup_blend_bf16_close_to_f32_blend():
+    """The in-dtype MixUp blend on bf16 images must agree with the f32
+    blend to bf16 rounding (<= 1 ulp of the blended value)."""
+    imgs32 = jnp.asarray(RNG.standard_normal((8, 16, 16, 3)), jnp.float32)
+    imgs16 = imgs32.astype(jnp.bfloat16)
+    labels = jnp.asarray(RNG.integers(0, 10, 8))
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        m32, t32 = A.mixup_cutmix(key, imgs32, labels, 10)
+        m16, t16 = A.mixup_cutmix(key, imgs16, labels, 10)
+        assert m16.dtype == jnp.bfloat16
+        a = np.asarray(m32, np.float32)
+        bm = np.asarray(m16, np.float32)
+        # bf16 has 8 mantissa bits: 2^-8 relative per element, doubled
+        # for the two roundings in the blend
+        assert np.max(np.abs(a - bm)) <= 2 ** -7 * max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(t32), np.asarray(t16), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_make_eval_view():
     u8 = RNG.integers(0, 256, (2, 40, 40, 3), dtype=np.uint8)
     out = A.make_eval_view(jnp.asarray(u8), 32, ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))

@@ -1,0 +1,279 @@
+"""Fused LN+MLP+DropPath+residual Pallas kernel: value/grad parity vs
+the unfused module chain, param-tree identity, and rng-stream identity
+of the Block dispatch.
+
+The kernel folds ``x + DropPath(fc2(gelu(fc1(LN(x)))))`` (the MLP half
+of a pre-LN transformer block; reference: timm blocks driven by
+``src/models/teacher.py``) into one VMEM-resident pass. All comparisons
+are against the repo's own module chain (FusedLayerNorm flax fallback +
+Mlp dense + DropPath), which is oracle-tested in tests/test_models.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.models.layers import Block, DropPath, FusedLayerNorm, Mlp
+from basd_tpu.ops.pallas.fused_block_mlp import fused_ln_mlp
+
+RNG = np.random.default_rng(11)
+
+
+def _ln_ref(x, s, b, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * s + b
+    return y.astype(x.dtype)
+
+
+def _chain_ref(x, mask, ln_s, ln_b, w1, b1, w2, b2):
+    """Unfused composition: LN -> fc1 -> tanh-GELU -> fc2, then
+    mask-multiply + residual (DropPath as a per-sample multiplier)."""
+    xn = _ln_ref(x, ln_s, ln_b)
+    y = (xn @ w1.astype(x.dtype) + b1.astype(x.dtype)).astype(x.dtype)
+    y = jax.nn.gelu(y, approximate=True)
+    y = (y @ w2.astype(x.dtype) + b2.astype(x.dtype)).astype(x.dtype)
+    return (
+        x.astype(jnp.float32)
+        + y.astype(jnp.float32) * mask[:, None, None]
+    ).astype(x.dtype)
+
+
+def _mk(b, n, d, f):
+    x = jnp.asarray(
+        RNG.standard_normal((b, n, d)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ln_s = jnp.asarray(1.0 + 0.1 * RNG.standard_normal(d).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * RNG.standard_normal(d).astype(np.float32))
+    w1 = jnp.asarray((RNG.standard_normal((d, f)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray((RNG.standard_normal(f) * 0.1).astype(np.float32))
+    w2 = jnp.asarray((RNG.standard_normal((f, d)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray((RNG.standard_normal(d) * 0.1).astype(np.float32))
+    return x, ln_s, ln_b, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("b,n", [(8, 13), (6, 9)])  # non-aligned N
+def test_fused_ln_mlp_forward_matches_chain(b, n):
+    x, ln_s, ln_b, w1, b1, w2, b2 = _mk(b, n, 32, 128)
+    mask = jnp.asarray(RNG.choice([0.0, 1.25], size=b).astype(np.float32))
+    o_ref = _chain_ref(x, mask, ln_s, ln_b, w1, b1, w2, b2).astype(
+        jnp.float32
+    )
+    o_f = fused_ln_mlp(
+        x, mask, ln_s, ln_b, w1.astype(x.dtype), b1, w2.astype(x.dtype),
+        b2, 1e-6, True,
+    ).astype(jnp.float32)
+    scale = float(jnp.abs(o_ref).max())
+    assert float(jnp.abs(o_ref - o_f).max()) <= 2 ** -7 * max(scale, 1.0)
+
+
+def test_fused_ln_mlp_grads_match_chain():
+    x, ln_s, ln_b, w1, b1, w2, b2 = _mk(8, 13, 32, 128)
+    mask = jnp.ones((8,), jnp.float32)
+
+    def loss_ref(args, xx):
+        return (
+            _chain_ref(xx, mask, *args).astype(jnp.float32) ** 2
+        ).sum()
+
+    def loss_f(args, xx):
+        ln_s, ln_b, w1, b1, w2, b2 = args
+        return (
+            fused_ln_mlp(
+                xx, mask, ln_s, ln_b, w1.astype(xx.dtype), b1,
+                w2.astype(xx.dtype), b2, 1e-6, True,
+            ).astype(jnp.float32) ** 2
+        ).sum()
+
+    args = (ln_s, ln_b, w1, b1, w2, b2)
+    g_ref = jax.grad(loss_ref)(args, x)
+    g_f = jax.grad(loss_f)(args, x)
+    for name, a, b_ in zip(
+        ("ln_s", "ln_b", "w1", "b1", "w2", "b2"), g_ref, g_f
+    ):
+        denom = float(jnp.abs(a).max())
+        assert (
+            float(jnp.abs(a - b_).max()) <= 0.03 * max(denom, 1.0)
+        ), name
+    dx_r = jax.grad(lambda xx: loss_ref(args, xx))(x).astype(jnp.float32)
+    dx_f = jax.grad(lambda xx: loss_f(args, xx))(x).astype(jnp.float32)
+    denom = float(jnp.abs(dx_r).max())
+    assert float(jnp.abs(dx_r - dx_f).max()) <= 0.03 * max(denom, 1.0)
+
+
+def test_fused_ln_mlp_mask_zeroes_and_scales():
+    """mask=0 rows must return x exactly; the masked gradient must be
+    zero for dropped samples (stochastic-depth semantics)."""
+    x, ln_s, ln_b, w1, b1, w2, b2 = _mk(4, 9, 32, 64)
+    mask = jnp.asarray([0.0, 2.0, 0.0, 2.0], jnp.float32)
+    o = fused_ln_mlp(
+        x, mask, ln_s, ln_b, w1.astype(x.dtype), b1, w2.astype(x.dtype),
+        b2, 1e-6, True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o[0], np.float32), np.asarray(x[0], np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o[2], np.float32), np.asarray(x[2], np.float32)
+    )
+
+    def loss(w1_):
+        return (
+            fused_ln_mlp(
+                x, mask, ln_s, ln_b, w1_.astype(x.dtype), b1,
+                w2.astype(x.dtype), b2, 1e-6, True,
+            ).astype(jnp.float32) ** 2
+        ).sum()
+
+    # dx for dropped samples is exactly the upstream gradient (pure
+    # residual pass-through)
+    def loss_x(xx):
+        return (
+            fused_ln_mlp(
+                xx, mask, ln_s, ln_b, w1.astype(x.dtype), b1,
+                w2.astype(x.dtype), b2, 1e-6, True,
+            ).astype(jnp.float32) ** 2
+        ).sum()
+
+    dx = jax.grad(loss_x)(x)
+    # for mask=0 rows, out == x so dloss/dx == 2x exactly
+    np.testing.assert_allclose(
+        np.asarray(dx[0], np.float32),
+        2.0 * np.asarray(x[0], np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def _block_params_and_apply(impl, deterministic, rate=0.0):
+    blk = Block(
+        num_heads=4,
+        mlp_ratio=4.0,
+        importance_mode=None,
+        drop_path_max=rate,
+        deterministic=deterministic,
+        dtype=jnp.bfloat16,
+        attention_impl="einsum",
+        mlp_impl=impl,
+    )
+    x = jnp.asarray(
+        RNG.standard_normal((4, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "droppath": jax.random.PRNGKey(5),
+    }
+    params = blk.init(rngs, x, 0.5 if rate else 0.0)
+    return blk, params, x
+
+
+def test_block_fused_ln_param_tree_identical():
+    """Block with mlp_impl='fused_ln' must create the exact same param
+    tree (paths, shapes, init values) as the module chain, so
+    checkpoints/ports are dispatch-independent."""
+    _, p_mod, _ = _block_params_and_apply("dense", True)
+    _, p_fused, _ = _block_params_and_apply("fused_ln", True)
+    assert jax.tree_util.tree_structure(p_mod) == jax.tree_util.tree_structure(
+        p_fused
+    )
+    flat_m = jax.tree_util.tree_flatten_with_path(p_mod)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(p_fused)[0]
+    for (path_m, leaf_m), (path_f, leaf_f) in zip(flat_m, flat_f):
+        assert path_m == path_f
+        np.testing.assert_array_equal(np.asarray(leaf_m), np.asarray(leaf_f))
+
+
+def test_block_fused_ln_matches_module_chain():
+    blk_m, params, x = _block_params_and_apply("dense", True)
+    blk_f = Block(
+        num_heads=4, mlp_ratio=4.0, importance_mode=None,
+        deterministic=True, dtype=jnp.bfloat16,
+        attention_impl="einsum", mlp_impl="fused_ln",
+    )
+    o_m, _ = blk_m.apply(params, x, 0.0)
+    o_f, _ = blk_f.apply(params, x, 0.0)
+    a = np.asarray(o_m[0], np.float32)
+    b = np.asarray(o_f[0], np.float32)
+    scale = float(np.abs(a).max())
+    assert float(np.abs(a - b).max()) <= 2 ** -6 * max(scale, 1.0)
+
+
+def test_block_fused_ln_layerscale_matches_module_chain():
+    """LayerScale (dinov2-style) blocks use the fused kernel with gamma
+    folded into the fc2 weights outside the kernel; values must match the
+    module chain (LN -> MLP -> LayerScale -> residual) to bf16 rounding,
+    the param tree must be identical, and gamma must receive gradient."""
+
+    def mk_blk(impl):
+        return Block(
+            num_heads=4, mlp_ratio=4.0, importance_mode=None,
+            layerscale_init=1e-5, deterministic=True, dtype=jnp.bfloat16,
+            attention_impl="einsum", mlp_impl=impl,
+        )
+
+    x = jnp.asarray(
+        RNG.standard_normal((4, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    blk_m, blk_f = mk_blk("dense"), mk_blk("fused_ln")
+    p_m = blk_m.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+    p_f = blk_f.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+    assert jax.tree_util.tree_structure(p_m) == jax.tree_util.tree_structure(
+        p_f
+    )
+    # gamma is tiny (1e-5) so the MLP contribution is ~1e-5 of x; compare
+    # against a non-trivial gamma too by overwriting it
+    p_big = jax.tree_util.tree_map(lambda a: a, p_m)
+    p_big["params"]["ls2"]["gamma"] = jnp.full((32,), 0.7, jnp.float32)
+    for params in (p_m, p_big):
+        o_m, _ = blk_m.apply(params, x, 0.0)
+        o_f, _ = blk_f.apply(params, x, 0.0)
+        a = np.asarray(o_m[0], np.float32)
+        b = np.asarray(o_f[0], np.float32)
+        scale = float(np.abs(a).max())
+        assert float(np.abs(a - b).max()) <= 2 ** -6 * max(scale, 1.0)
+
+    # gamma gradient flows through the fold
+    def loss(g):
+        p = jax.tree_util.tree_map(lambda a: a, p_big)
+        p["params"]["ls2"]["gamma"] = g
+        o, _ = blk_f.apply(p, x, 0.0)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    dg = jax.grad(loss)(p_big["params"]["ls2"]["gamma"])
+    assert float(jnp.abs(dg).max()) > 0.0
+
+
+def test_block_fused_ln_droppath_stream_identical():
+    """With stochastic depth active, the fused branch must draw the SAME
+    per-sample mask as the module DropPath (rng stream is path-keyed, and
+    both use name='drop_path2'): kept samples match to bf16 rounding and
+    dropped samples are exactly the residual in both."""
+    rate = 0.5
+    blk_m = Block(
+        num_heads=4, mlp_ratio=4.0, importance_mode=None,
+        drop_path_max=rate, deterministic=False, dtype=jnp.bfloat16,
+        attention_impl="einsum", mlp_impl="dense",
+    )
+    blk_f = Block(
+        num_heads=4, mlp_ratio=4.0, importance_mode=None,
+        drop_path_max=rate, deterministic=False, dtype=jnp.bfloat16,
+        attention_impl="einsum", mlp_impl="fused_ln",
+    )
+    x = jnp.asarray(
+        RNG.standard_normal((16, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    params = blk_m.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(5)},
+        x, rate,
+    )
+    dp = {"droppath": jax.random.PRNGKey(42)}
+    o_m, _ = blk_m.apply(params, x, rate, rngs=dp)
+    o_f, _ = blk_f.apply(params, x, rate, rngs=dp)
+    a = np.asarray(o_m[0], np.float32)
+    b = np.asarray(o_f[0], np.float32)
+    scale = float(np.abs(a).max())
+    # identical masks => everything agrees to bf16 rounding; a mask
+    # mismatch on any sample would produce O(1) relative differences
+    assert float(np.abs(a - b).max()) <= 2 ** -6 * max(scale, 1.0)
