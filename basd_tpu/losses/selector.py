@@ -124,9 +124,7 @@ def select_and_mix(
     t_tokens = jax.lax.stop_gradient(teacher_tokens)
     t_imp = jax.lax.stop_gradient(teacher_importance)
 
-    t_flat = t_tokens.reshape(L, -1, t_tokens.shape[-1])
-    s_flat = student_tokens.reshape(P, -1, student_tokens.shape[-1])
-    m_t = t_flat.shape[1]
+    m_t = t_tokens.shape[1] * t_tokens.shape[2]
 
     r_cap = min(cfg.max_rank or d_s, d_s)
 
@@ -155,26 +153,37 @@ def select_and_mix(
             safe_eigh,
         )
 
-        def token_gram(flat):  # (K, M, D) -> (K, D, D), f32
-            prec = None if flat.dtype == jnp.bfloat16 else _PROJ_PREC
+        def token_gram(toks):  # (K, B, N, D) -> (K, D, D), f32
+            # 4-D form (contract b,n directly, no (K, B*N, D) reshape):
+            # when the tokens arrive as a lazy cls-strip slice of the
+            # teacher's aliased collection stack, a reshape across the
+            # sliced axis would force a materialized 0.9 GB copy; the
+            # 4-D einsum lets XLA fuse the slice into the dot read.
+            prec = None if toks.dtype == jnp.bfloat16 else _PROJ_PREC
             return jnp.einsum(
-                "kmd,kme->kde", flat, flat,
+                "kbnd,kbne->kde", toks, toks,
                 precision=prec, preferred_element_type=jnp.float32,
             )
 
-        mu_t = jnp.mean(t_flat, axis=1, dtype=jnp.float32) @ proj_t.T  # (L, D_s)
+        mu_t = (
+            jnp.mean(t_tokens, axis=(1, 2), dtype=jnp.float32) @ proj_t.T
+        )  # (L, D_s)
         sand_t = jnp.einsum(
-            "si,lij,tj->lst", proj_t, token_gram(t_flat), proj_t,
+            "si,lij,tj->lst", proj_t, token_gram(t_tokens), proj_t,
             precision=HI,
         )
         gram_tc = sand_t - m_t * mu_t[:, :, None] * mu_t[:, None, :]
 
-        mu_s = jnp.mean(s_flat, axis=1, dtype=jnp.float32) @ proj_s.T
+        m_s = student_tokens.shape[1] * student_tokens.shape[2]
+        mu_s = (
+            jnp.mean(student_tokens, axis=(1, 2), dtype=jnp.float32)
+            @ proj_s.T
+        )
         sand_s = jnp.einsum(
-            "si,pij,tj->pst", proj_s, token_gram(s_flat), proj_s,
+            "si,pij,tj->pst", proj_s, token_gram(student_tokens), proj_s,
             precision=HI,
         )
-        gram_sc = sand_s - s_flat.shape[1] * mu_s[:, :, None] * mu_s[:, None, :]
+        gram_sc = sand_s - m_s * mu_s[:, :, None] * mu_s[:, None, :]
 
         stacked = jnp.concatenate(
             [jax.lax.stop_gradient(gram_tc), gram_sc], axis=0
@@ -210,6 +219,8 @@ def select_and_mix(
     else:
         # parity path ('svd', or tiny M < D_s): materialize the projected
         # panels exactly as the reference does (layer_selector.py:51-56)
+        t_flat = t_tokens.reshape(L, -1, t_tokens.shape[-1])
+        s_flat = student_tokens.reshape(P, -1, student_tokens.shape[-1])
         z_t = jnp.einsum(
             "lmd,sd->lms", t_flat.astype(jnp.float32), proj_t,
             precision=_PROJ_PREC,

@@ -350,9 +350,19 @@ class Block(nn.Module):
     # keep XLA from fusing the LayerNorm statistic reductions into the
     # producer matmul's epilogue (experiment flag; see scripts/bench_parts)
     ln_barrier: bool = False
+    # collect per-layer outputs by writing into a carried (L, B, N, D)
+    # stack instead of scan-with-collect ys: the fused MLP kernel's
+    # second (aliased) output on the TPU path, a dynamic_update_slice on
+    # the module path. Avoids the unrolled-scan concatenate (8.2 ms/step
+    # at teacher shapes). The carry becomes (x, stack, layer_index) and
+    # the stack keeps the cls token (stripped lazily by the consumer).
+    collect_alias: bool = False
 
     @nn.compact
     def __call__(self, x, drop_path_rate):
+        buf = idx = None
+        if self.collect_alias:
+            x, buf, idx = x
         d = x.shape[-1]
 
         def _ln(x, name):
@@ -398,7 +408,10 @@ class Block(nn.Module):
             mlp_impl = "module"
 
         if mlp_impl == "fused_ln":
-            from basd_tpu.ops.pallas.fused_block_mlp import fused_ln_mlp
+            from basd_tpu.ops.pallas.fused_block_mlp import (
+                fused_ln_mlp,
+                fused_ln_mlp_collect,
+            )
 
             ln_s, ln_b = _LNParams(name="norm2")(d)
             w1, b1, w2, b2 = _MlpParams(
@@ -412,12 +425,18 @@ class Block(nn.Module):
             mask = _DropPathMask(
                 self.drop_path_max, self.deterministic, name="drop_path2"
             )(x.shape[0], drop_path_rate)
-            x = fused_ln_mlp(
+            args = (
                 x, mask,
                 ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
                 w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
-                float(self.norm_eps), jax.default_backend() != "tpu",
             )
+            interp = jax.default_backend() != "tpu"
+            if self.collect_alias:
+                x, buf = fused_ln_mlp_collect(
+                    *args, buf, idx, float(self.norm_eps), interp
+                )
+            else:
+                x = fused_ln_mlp(*args, float(self.norm_eps), interp)
         else:
             y = Mlp(
                 int(d * self.mlp_ratio), d, dtype=self.dtype,
@@ -430,11 +449,25 @@ class Block(nn.Module):
                 self.drop_path_max, self.deterministic, name="drop_path2"
             )(y, drop_path_rate)
 
+        if importance is None:
+            n_tok = x.shape[1] - 1 if self.has_cls_token else x.shape[1]
+            importance = jnp.zeros((x.shape[0], n_tok), jnp.float32)
+        if self.collect_alias:
+            if buf.dtype != x.dtype or buf.shape[1:] != x.shape:
+                raise ValueError(
+                    f"collect stack {buf.shape}/{buf.dtype} does not match "
+                    f"block output {x.shape}/{x.dtype}"
+                )
+            if mlp_impl != "fused_ln":
+                # module-path fallback (CPU / f32): same stack semantics
+                # via an in-place dynamic_update_slice
+                buf = jax.lax.dynamic_update_slice(
+                    buf, x[None], (idx, 0, 0, 0)
+                )
+            return (x, buf, idx + 1), importance
         # per-layer collected outputs: cls-stripped tokens (reference
         # strips cls in hooks: teacher.py:202, trainer.py:29)
         tokens = x[:, 1:, :] if self.has_cls_token else x
-        if importance is None:
-            importance = jnp.zeros(tokens.shape[:2], jnp.float32)
         return x, (tokens, importance)
 
 

@@ -137,6 +137,7 @@ def create_model(
     importance_mode: Optional[str] = None,
     remat: bool = False,
     remat_policy=None,
+    collect_alias: bool = False,
     dtype=jnp.float32,
 ) -> ModelBundle:
     """Build a model by preset name (the reference's
@@ -156,7 +157,8 @@ def create_model(
         ).with_overrides(arch_overrides)
         module = VisionTransformer(
             cfg, importance_mode=importance_mode, remat=remat,
-            remat_policy=remat_policy, dtype=dtype
+            remat_policy=remat_policy, collect_alias=collect_alias,
+            dtype=dtype
         )
         return ModelBundle(name, module, cfg, _vit_info(cfg))
     if name in _CNN_PRESETS:
@@ -214,7 +216,8 @@ def create_model(
         )
         module = VisionTransformer(
             cfg, importance_mode=importance_mode, remat=remat,
-            remat_policy=remat_policy, dtype=dtype
+            remat_policy=remat_policy, collect_alias=collect_alias,
+            dtype=dtype
         )
         return ModelBundle(name, module, cfg, _vit_info(cfg))
     raise KeyError(
@@ -318,6 +321,10 @@ def load_teacher(
         num_classes=0,
         arch_overrides=arch_overrides,
         importance_mode="cls" if is_vit else None,
+        # frozen-teacher fast path: per-layer tokens collected through an
+        # aliased carried stack (no unrolled-scan concatenate); the
+        # module falls back to scan-with-collect when remat'd
+        collect_alias=is_vit,
         dtype=dtype,
     )
     variables = init_model(bundle, jax.random.PRNGKey(seed), img_size)

@@ -82,6 +82,15 @@ class VisionTransformer(nn.Module):
     ln_barrier: bool = False
     attention_impl: str = "auto"
     mlp_impl: str = "auto"
+    # collect per-layer tokens through a carried (L, B, N, D) stack the
+    # blocks write into directly (aliased Pallas output on the TPU bf16
+    # path, dynamic_update_slice on the module path) instead of
+    # scan-with-collect ys — kills the unrolled-scan concatenate
+    # (8.2 ms/step at B=512 teacher shapes). FORWARD-ONLY (the TPU
+    # kernel defines no VJP): use for the frozen teacher, never for the
+    # student. The stack keeps the cls token; 'tokens' is returned as a
+    # lazy slice that fuses into the selector's einsum reads.
+    collect_alias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,6 +132,7 @@ class VisionTransformer(nn.Module):
             else:
                 raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
             block_cls = nn.remat(Block, prevent_cse=False, policy=policy)
+        collect_alias = self.collect_alias and not self.remat
         blocks = nn.scan(
             block_cls,
             variable_axes={"params": 0},
@@ -144,9 +154,17 @@ class VisionTransformer(nn.Module):
             ln_barrier=self.ln_barrier,
             attention_impl=self.attention_impl,
             mlp_impl=self.mlp_impl,
+            collect_alias=collect_alias,
             name="blocks",
         )
-        x, (tokens, importance) = blocks(x, rates)
+        if collect_alias:
+            stack = jnp.zeros((cfg.depth,) + x.shape, self.dtype)
+            (x, stack, _), importance = blocks(
+                (x, stack, jnp.int32(0)), rates
+            )
+            tokens = stack[:, :, 1:, :] if cfg.use_cls_token else stack
+        else:
+            x, (tokens, importance) = blocks(x, rates)
 
         x = FusedLayerNorm(
             epsilon=cfg.norm_eps, dtype=self.dtype, name="norm"

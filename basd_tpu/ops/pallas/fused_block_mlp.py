@@ -20,8 +20,10 @@ output is rounded to bf16 exactly where ``FusedLayerNorm`` hands off to
 ``mask`` is the stochastic-depth multiplier, one f32 row per token
 (values 0 or 1/keep, constant across each image's tokens; all-ones when
 deterministic) — ``DropPath``'s ``where(keep_mask, y/keep, 0)`` written
-as a multiply. LayerScale blocks (dinov2-style) do NOT use this kernel;
-the caller falls back to the unfused path (see ``models.layers.Block``).
+as a multiply. LayerScale blocks (dinov2-style) use this kernel too: the
+caller folds gamma into the fc2 weights OUTSIDE the kernel with plain
+differentiable ops (see ``models.layers.Block``), so gradients reach
+both w2 and gamma exactly.
 
 Backward is recompute-based like ``fused_mlp``: nothing but (x, mask)
 and the params are saved; the kernel re-derives LN stats and the hidden
@@ -246,6 +248,118 @@ def fused_ln_mlp(x, mask, ln_scale, ln_bias, w1, b1, w2, b2,
         (B, N, D) in x.dtype.
     """
     return _fwd(x, mask, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret)
+
+
+def _fwd_collect_kernel(
+    l_ref, x_ref, m_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    buf_in_ref, o_ref, buf_ref, *, eps: float, d: int,
+):
+    del l_ref, buf_in_ref  # layer index is consumed by the index_map only
+    x = x_ref[...]
+    xf = x.astype(_F32)
+    xc, var = _ln_stats(xf, d)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn = (xc * rstd) * s_ref[...] + b_ref[...]
+    xnb = xn.astype(x_ref.dtype)
+
+    pre = _dot(xnb, w1_ref[...], ((1,), (0,))) + b1_ref[...]
+    preb = pre.astype(x_ref.dtype).astype(_F32)
+    h, _ = _gelu_tanh(preb)
+    hb = h.astype(x_ref.dtype)
+    y = _dot(hb, w2_ref[...], ((1,), (0,))) + b2_ref[...]
+    yb = y.astype(x_ref.dtype).astype(_F32)
+    out = (xf + yb * m_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = out
+    # second write: the SAME VMEM tile goes into row `layer` of the
+    # (L, B*N, D) collection stack — this replaces the (L, B, N, D)
+    # concatenate XLA otherwise emits for unrolled scan-with-collect
+    # (traced 8.2 ms/step at B=512 teacher shapes vs ~1.3 ms of extra
+    # tile writes here; reference collects via forward hooks,
+    # src/models/teacher.py:193-212)
+    buf_ref[...] = out
+
+
+def fused_ln_mlp_collect(
+    x, mask, ln_scale, ln_bias, w1, b1, w2, b2, buf, layer,
+    eps=1e-6, interpret=False,
+):
+    """``fused_ln_mlp`` that also writes the block output into row
+    ``layer`` of the collection stack ``buf`` in the same kernel pass.
+
+    FORWARD-ONLY (no VJP): intended for the frozen teacher, whose
+    collected tokens are ``stop_gradient``-ed by the selector. ``buf``
+    has shape (L, B, N, D) and is updated IN PLACE via
+    ``input_output_aliases`` (donate it: pass the carried stack, use the
+    returned one). Rows other than ``layer`` are preserved.
+
+    Returns ``(out, buf)`` with ``out = x + mask * mlp(LN(x))`` exactly
+    as ``fused_ln_mlp`` and ``buf[layer] == out``.
+    """
+    b, n, d = x.shape
+    L = buf.shape[0]
+    f = w1.shape[1]
+    m = b * n
+    mt = _row_tile(b, n)
+    nblk = m // mt
+    if mt % 8 != 0:
+        # tiny shapes where no 8-aligned row tile divides B*N: the stack
+        # blocks cannot use Pallas's whole-array escape (buf is L x
+        # bigger), so compute unfused-collect: same kernel for `out`,
+        # XLA dynamic_update_slice for the stack write.
+        out = fused_ln_mlp(
+            x, mask, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret
+        )
+        return out, jax.lax.dynamic_update_slice(
+            buf, out[None].astype(buf.dtype), (layer, 0, 0, 0)
+        )
+    x2 = x.reshape(m, d)
+    buf2 = buf.reshape(L * m, d)
+    m2 = jnp.broadcast_to(
+        mask.astype(_F32).reshape(b, 1, 1), (b, n, 1)
+    ).reshape(m, 1)
+    tile = pl.BlockSpec((mt, d), lambda i, l: (i, 0),
+                        memory_space=pltpu.VMEM)
+    mtile = pl.BlockSpec((mt, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def full(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, l, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fwd_collect_kernel, eps=eps, d=d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[tile, mtile, full((1, d)), full((1, d)),
+                  full((d, f)), full((1, f)), full((f, d)),
+                  full((1, d)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            tile,
+            pl.BlockSpec((mt, d), lambda i, l: (l[0] * nblk + i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out, buf_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, d), x.dtype),
+            jax.ShapeDtypeStruct((L * m, d), buf.dtype),
+        ),
+        # input 0 is the scalar-prefetch layer index; buf is input 9
+        input_output_aliases={9: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x2, m2,
+      ln_scale.reshape(1, d).astype(_F32), ln_bias.reshape(1, d).astype(_F32),
+      w1, b1.reshape(1, f).astype(_F32), w2, b2.reshape(1, d).astype(_F32),
+      buf2)
+    return out.reshape(b, n, d), buf_new.reshape(L, b, n, d)
 
 
 def _flm_fwd(x, mask, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret):

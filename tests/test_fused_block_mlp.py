@@ -147,6 +147,98 @@ def test_fused_ln_mlp_mask_zeroes_and_scales():
     )
 
 
+def test_fused_ln_mlp_collect_matches_and_preserves_rows():
+    """The collect variant must return the same `out` as fused_ln_mlp,
+    write it into row `layer` of the stack, and leave other rows
+    untouched (aliased in-place update)."""
+    from basd_tpu.ops.pallas.fused_block_mlp import fused_ln_mlp_collect
+
+    x, ln_s, ln_b, w1, b1, w2, b2 = _mk(8, 13, 32, 128)
+    mask = jnp.ones((8,), jnp.float32)
+    L = 3
+    sentinel = jnp.full((L, 8, 13, 32), 7.0, x.dtype)
+    args = (x, mask, ln_s, ln_b, w1.astype(x.dtype), b1,
+            w2.astype(x.dtype), b2)
+    o_ref = fused_ln_mlp(*args, 1e-6, True)
+    buf = sentinel
+    outs = []
+    for layer in range(L):
+        o, buf = fused_ln_mlp_collect(
+            *args, buf, jnp.int32(layer), 1e-6, True
+        )
+        outs.append(o)
+    for o in outs:
+        np.testing.assert_array_equal(
+            np.asarray(o, np.float32), np.asarray(o_ref, np.float32)
+        )
+    for layer in range(L):
+        np.testing.assert_array_equal(
+            np.asarray(buf[layer], np.float32),
+            np.asarray(o_ref, np.float32),
+        )
+    # partial write preserves other rows
+    buf2 = fused_ln_mlp_collect(
+        *args, sentinel, jnp.int32(1), 1e-6, True
+    )[1]
+    np.testing.assert_array_equal(
+        np.asarray(buf2[0], np.float32), np.asarray(sentinel[0], np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(buf2[2], np.float32), np.asarray(sentinel[2], np.float32)
+    )
+
+
+def test_fused_ln_mlp_collect_tiny_unaligned_fallback():
+    """Shapes with no 8-aligned row tile (B*N % 8 != 0) take the
+    DUS fallback; semantics must be identical."""
+    from basd_tpu.ops.pallas.fused_block_mlp import fused_ln_mlp_collect
+
+    x, ln_s, ln_b, w1, b1, w2, b2 = _mk(4, 5, 32, 64)
+    mask = jnp.ones((4,), jnp.float32)
+    args = (x, mask, ln_s, ln_b, w1.astype(x.dtype), b1,
+            w2.astype(x.dtype), b2)
+    o_ref = fused_ln_mlp(*args, 1e-6, True)
+    buf = jnp.full((2, 4, 5, 32), 3.0, x.dtype)
+    o, buf = fused_ln_mlp_collect(*args, buf, jnp.int32(1), 1e-6, True)
+    np.testing.assert_array_equal(
+        np.asarray(o, np.float32), np.asarray(o_ref, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(buf[1], np.float32), np.asarray(o_ref, np.float32)
+    )
+    assert float(jnp.max(jnp.abs(buf[0].astype(jnp.float32) - 3.0))) == 0.0
+
+
+def test_vit_collect_alias_matches_scan_collect():
+    """VisionTransformer(collect_alias=True) must produce identical
+    logits/tokens/importance to the default scan-with-collect path (the
+    module-chain fallback uses dynamic_update_slice; same param tree)."""
+    from basd_tpu.models.vit import ViTConfig, VisionTransformer
+
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=4,
+        num_classes=0,
+    )
+    x = jnp.asarray(RNG.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    m_ref = VisionTransformer(cfg, importance_mode="cls")
+    m_alias = VisionTransformer(
+        cfg, importance_mode="cls", collect_alias=True
+    )
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    params2 = m_alias.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params2
+    )
+    o_ref = m_ref.apply(params, x)
+    o_alias = m_alias.apply(params, x)
+    for k in ("logits", "tokens", "importance"):
+        np.testing.assert_allclose(
+            np.asarray(o_ref[k], np.float32),
+            np.asarray(o_alias[k], np.float32),
+            rtol=0, atol=0, err_msg=k,
+        )
+
+
 def _block_params_and_apply(impl, deterministic, rate=0.0):
     blk = Block(
         num_heads=4,
