@@ -104,6 +104,18 @@ class _LSParams(nn.Module):
         )
 
 
+class _AttnParams(nn.Module):
+    """Declares the ``Attention`` param tree (qkv/proj kernel+bias,
+    identical names/shapes/inits) without running it — used by the fused
+    attention-half block kernel."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        wq, bq = _DenseParams(3 * d, name="qkv")(d)
+        wp, bp = _DenseParams(d, name="proj")(d)
+        return wq, bq, wp, bp
+
+
 class _DropPathMask(nn.Module):
     """Draws the per-sample stochastic-depth MULTIPLIER (0 or 1/keep)
     instead of applying it — the fused LN+MLP kernel applies it in-VMEM.
@@ -371,18 +383,59 @@ class Block(nn.Module):
             return FusedLayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
                                   name=name)(x)
 
-        y, importance = Attention(
-            self.num_heads,
-            importance_mode=self.importance_mode,
-            dtype=self.dtype,
-            attention_impl=self.attention_impl,
-            name="attn",
-        )(_ln(x, "norm1"))
-        if self.layerscale_init is not None:
-            y = LayerScale(self.layerscale_init, name="ls1")(y)
-        x = x + DropPath(
-            self.drop_path_max, self.deterministic, name="drop_path1"
-        )(y, drop_path_rate)
+        # attention half: the forward-only teacher path (importance_mode
+        # 'cls', deterministic / no stochastic depth, bf16 TPU) fuses
+        # LN1 + qkv + flash attention + proj + residual into ONE kernel
+        # (ops/pallas/fused_block_attn) — same param tree, math identical
+        # to the module chain at bf16 rounding. LayerScale folds gamma
+        # into the proj weights outside the kernel.
+        attn_impl = self.attention_impl
+        fusable = (
+            self.importance_mode == "cls"
+            and self.dtype == jnp.bfloat16
+            and not self.ln_barrier
+            and (self.deterministic or self.drop_path_max == 0.0)
+            and x.ndim == 3
+        )
+        # NOTE: auto-dispatch to 'fused_block' is intentionally OFF until
+        # the kernel is Mosaic-validated on real hardware (the remote
+        # compile service was down when it landed); opt in explicitly
+        # with attention_impl='fused_block'.
+        if attn_impl == "fused_block" and not fusable:
+            attn_impl = "auto"
+
+        if attn_impl == "fused_block":
+            from basd_tpu.ops.pallas.fused_block_attn import fused_block_attn
+
+            ln1_s, ln1_b = _LNParams(name="norm1")(d)
+            wq, bq, wp, bp = _AttnParams(name="attn")(d)
+            if self.layerscale_init is not None:
+                g1 = _LSParams(self.layerscale_init, name="ls1")(d)
+                g1f = g1.astype(jnp.float32)
+                wp = wp * g1f[None, :]
+                bp = bp * g1f
+            x, imp_full = fused_block_attn(
+                x, ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
+                wq.astype(self.dtype), bq, wp.astype(self.dtype), bp,
+                self.num_heads, float(self.norm_eps),
+                jax.default_backend() != "tpu",
+            )
+            importance = imp_full[:, 1:]  # strip the CLS key
+        else:
+            y, importance = Attention(
+                self.num_heads,
+                importance_mode=self.importance_mode,
+                dtype=self.dtype,
+                attention_impl=(
+                    "auto" if attn_impl == "module" else attn_impl
+                ),
+                name="attn",
+            )(_ln(x, "norm1"))
+            if self.layerscale_init is not None:
+                y = LayerScale(self.layerscale_init, name="ls1")(y)
+            x = x + DropPath(
+                self.drop_path_max, self.deterministic, name="drop_path1"
+            )(y, drop_path_rate)
 
         # MLP half: the bf16 TPU path folds LN2 + MLP + DropPath +
         # residual into ONE Pallas kernel (fused_block_mlp) — same param

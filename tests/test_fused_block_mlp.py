@@ -239,6 +239,106 @@ def test_vit_collect_alias_matches_scan_collect():
         )
 
 
+@pytest.mark.parametrize("ls", [None, 0.7])
+def test_block_fused_attn_matches_module_chain(ls):
+    """The fused attention-half kernel (LN1+qkv+flash+proj+residual) must
+    match the einsum module chain on tokens AND cls importance, with an
+    identical param tree; LayerScale folds into the proj weights."""
+
+    def mk(impl):
+        return Block(
+            num_heads=4, mlp_ratio=4.0, importance_mode="cls",
+            layerscale_init=ls, deterministic=True, dtype=jnp.bfloat16,
+            attention_impl=impl, mlp_impl="dense",
+        )
+
+    x = jnp.asarray(
+        RNG.standard_normal((4, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    blk_m, blk_f = mk("einsum"), mk("fused_block")
+    p_m = blk_m.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+    p_f = blk_f.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+    assert jax.tree_util.tree_structure(p_m) == jax.tree_util.tree_structure(
+        p_f
+    )
+    flat_m = jax.tree_util.tree_flatten_with_path(p_m)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(p_f)[0]
+    for (path_m, leaf_m), (path_f, leaf_f) in zip(flat_m, flat_f):
+        assert path_m == path_f
+        np.testing.assert_array_equal(np.asarray(leaf_m), np.asarray(leaf_f))
+
+    (x_m, (tok_m, imp_m)) = blk_m.apply(p_m, x, 0.0)
+    (x_f, (tok_f, imp_f)) = blk_f.apply(p_m, x, 0.0)
+    a = np.asarray(x_m, np.float32)
+    b = np.asarray(x_f, np.float32)
+    scale = float(np.abs(a).max())
+    assert float(np.abs(a - b).max()) <= 2 ** -6 * max(scale, 1.0)
+    ia, ib = np.asarray(imp_m), np.asarray(imp_f)
+    assert ia.shape == ib.shape == (4, 8)
+    assert float(np.abs(ia - ib).max()) <= 2e-2 * max(float(ia.max()), 1e-6)
+
+
+def test_vit_full_fused_teacher_path_interpret():
+    """The complete TPU teacher configuration — fused attention-half
+    kernel + fused LN+MLP collect kernel + aliased stack — run through
+    a whole VisionTransformer in interpret mode must match the module
+    chain (same params) to bf16 rounding on tokens, importance, and
+    logits."""
+    from basd_tpu.models.vit import ViTConfig, VisionTransformer
+
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=4,
+        num_classes=10,
+    )
+    x = jnp.asarray(
+        RNG.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    m_ref = VisionTransformer(cfg, importance_mode="cls", dtype=jnp.bfloat16)
+    m_fused = VisionTransformer(
+        cfg, importance_mode="cls", dtype=jnp.bfloat16,
+        attention_impl="fused_block", mlp_impl="fused_ln",
+        collect_alias=True,
+    )
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    p2 = m_fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        p2
+    )
+    o_ref = m_ref.apply(params, x)
+    o_f = m_fused.apply(params, x)
+    for k, tol in (("tokens", 2 ** -5), ("logits", 2 ** -5)):
+        a = np.asarray(o_ref[k], np.float32)
+        b = np.asarray(o_f[k], np.float32)
+        scale = float(np.abs(a).max())
+        assert float(np.abs(a - b).max()) <= tol * max(scale, 1.0), k
+    ia = np.asarray(o_ref["importance"])
+    ib = np.asarray(o_f["importance"])
+    assert float(np.abs(ia - ib).max()) <= 2e-2 * max(float(ia.max()), 1e-6)
+
+
+def test_block_fused_attn_falls_back_when_unfusable():
+    """fused_block with active stochastic depth (non-deterministic) must
+    fall back to the module chain rather than silently dropping the
+    droppath draw."""
+    blk = Block(
+        num_heads=4, mlp_ratio=4.0, importance_mode="cls",
+        drop_path_max=0.5, deterministic=False, dtype=jnp.bfloat16,
+        attention_impl="fused_block", mlp_impl="dense",
+    )
+    x = jnp.asarray(
+        RNG.standard_normal((4, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    params = blk.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        x, 0.5,
+    )
+    # the module-chain fallback draws droppath rng -> apply must demand it
+    out, _ = blk.apply(
+        params, x, 0.5, rngs={"droppath": jax.random.PRNGKey(2)}
+    )
+    assert out.shape == x.shape
+
+
 def _block_params_and_apply(impl, deterministic, rate=0.0):
     blk = Block(
         num_heads=4,
