@@ -56,7 +56,7 @@ def chained_time(fn, *args, iters=ITERS):
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
-def _teacher(barrier: bool):
+def _teacher(barrier: bool, attention_impl: str = "auto"):
     import jax
     import jax.numpy as jnp
 
@@ -67,10 +67,13 @@ def _teacher(barrier: bool):
         "deit_small_patch16_224", img_size=IMG, num_classes=0,
         importance_mode="cls", dtype=jnp.bfloat16,
     )
-    if barrier:
+    if barrier or attention_impl != "auto":
         bundle = type(bundle)(
-            bundle.name, bundle.module.clone(ln_barrier=True), bundle.cfg,
-            bundle.info, bundle.mean, bundle.std,
+            bundle.name,
+            bundle.module.clone(
+                ln_barrier=barrier, attention_impl=attention_impl
+            ),
+            bundle.cfg, bundle.info, bundle.mean, bundle.std,
         )
     variables = init_model(bundle, jax.random.PRNGKey(0), IMG)
     x = jnp.asarray(
@@ -83,7 +86,9 @@ def _teacher(barrier: bool):
         return t.astype(jnp.float32).mean(), imp.mean()
 
     ms = chained_time(fwd, x)
-    tag = "teacher_barrier" if barrier else "teacher"
+    tag = "teacher_barrier" if barrier else (
+        "teacher_fused" if attention_impl == "fused_block" else "teacher"
+    )
     print(f"{tag:16s}: {ms:8.2f} ms/fwd (B={B})")
 
 
@@ -93,6 +98,13 @@ def bench_teacher():
 
 def bench_teacher_barrier():
     _teacher(True)
+
+
+def bench_teacher_fused():
+    """Teacher forward with the fused LN1+qkv+flash+proj+residual block
+    attention kernel (ops/pallas/fused_block_attn), opt-in pending
+    hardware validation — compare against the `teacher` part."""
+    _teacher(False, attention_impl="fused_block")
 
 
 def bench_student_fwd():
@@ -145,6 +157,7 @@ def bench_views():
 PARTS = {
     "teacher": bench_teacher,
     "teacher_barrier": bench_teacher_barrier,
+    "teacher_fused": bench_teacher_fused,
     "student_fwd": bench_student_fwd,
     "views": bench_views,
 }
