@@ -404,7 +404,46 @@ class Block(nn.Module):
         if attn_impl == "fused_block" and not fusable:
             attn_impl = "auto"
 
-        if attn_impl == "fused_block":
+        # student sibling: same fusion with a full custom VJP and a
+        # stochastic-depth multiplier, no importance output
+        # (ops/pallas/fused_block_attn.fused_block_attn_train). Opt-in
+        # via attention_impl='fused_block_train' pending hardware
+        # validation, like 'fused_block' above.
+        fusable_train = (
+            self.importance_mode is None
+            and self.dtype == jnp.bfloat16
+            and not self.ln_barrier
+            and x.ndim == 3
+        )
+        if attn_impl == "fused_block_train" and not fusable_train:
+            attn_impl = "auto"
+
+        if attn_impl == "fused_block_train":
+            from basd_tpu.ops.pallas.fused_block_attn import (
+                fused_block_attn_train,
+            )
+
+            ln1_s, ln1_b = _LNParams(name="norm1")(d)
+            wq, bq, wp, bp = _AttnParams(name="attn")(d)
+            if self.layerscale_init is not None:
+                # fold gamma into the proj weights OUTSIDE the kernel
+                # with plain differentiable ops — gradients reach both
+                # wp and gamma exactly (same scheme as the fused MLP)
+                g1 = _LSParams(self.layerscale_init, name="ls1")(d)
+                g1f = g1.astype(jnp.float32)
+                wp = wp * g1f[None, :]
+                bp = bp * g1f
+            mask = _DropPathMask(
+                self.drop_path_max, self.deterministic, name="drop_path1"
+            )(x.shape[0], drop_path_rate)
+            x = fused_block_attn_train(
+                x, mask, ln1_s.astype(jnp.float32),
+                ln1_b.astype(jnp.float32), wq.astype(self.dtype), bq,
+                wp.astype(self.dtype), bp, self.num_heads,
+                float(self.norm_eps), jax.default_backend() != "tpu",
+            )
+            importance = None
+        elif attn_impl == "fused_block":
             from basd_tpu.ops.pallas.fused_block_attn import fused_block_attn
 
             ln1_s, ln1_b = _LNParams(name="norm1")(d)

@@ -30,6 +30,15 @@ tokens and the mix weights need only teacher *values*). LayerScale
 (dinov2) is handled by the caller folding gamma into ``w_proj``/
 ``b_proj``. Stochastic depth on a frozen deterministic teacher is the
 identity, so no mask input exists.
+
+``fused_block_attn_train`` is the STUDENT-path sibling: same fused
+forward plus a stochastic-depth mask (one multiplier per image, like
+``fused_block_mlp``), no importance output, and a full custom VJP whose
+backward is one recompute kernel — the only saved residuals are the
+block input ``x`` and the per-head row logsumexp, so the qkv slab,
+scores, and attention output never reach HBM in either direction.
+Weight/LN gradients accumulate in revisited f32 blocks over a
+sequential batch-tile grid, exactly like ``fused_block_mlp._bwd_kernel``.
 """
 
 from __future__ import annotations
@@ -156,3 +165,340 @@ def fused_block_attn(
       b_qkv.reshape(1, 3 * d).astype(_F32), w_proj,
       b_proj.reshape(1, d).astype(_F32))
     return out, imp
+
+
+# -- differentiable student variant -----------------------------------------
+
+
+def _fwd_train_kernel(
+    x_ref, m_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+    o_ref, lse_ref, *, eps: float, d: int, h: int, e: int, scale: float,
+):
+    x = x_ref[...]  # (G, N, D)
+    xf = x.astype(_F32)
+    inv_d = 1.0 / d
+    mu = jnp.sum(xf, axis=-1, keepdims=True) * inv_d
+    xc = xf - mu
+    var = jnp.sum(xc * xc, axis=-1, keepdims=True) * inv_d
+    xn = (xc * jax.lax.rsqrt(var + eps)) * s_ref[...] + bl_ref[...]
+    xnb = xn.astype(x.dtype)
+
+    qkv = jax.lax.dot_general(
+        xnb, wqkv_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    ) + bqkv_ref[...]
+    qkvb = qkv.astype(x.dtype)  # (G, N, 3D), rounded where Dense returns
+
+    heads = []
+    for i in range(h):
+        q = qkvb[:, :, i * e:(i + 1) * e]
+        k = qkvb[:, :, d + i * e:d + (i + 1) * e]
+        v = qkvb[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        ) * scale  # (G, N, N)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        ) / l
+        heads.append(o.astype(x.dtype))
+        lse_ref[:, i, :] = m[..., 0] + jnp.log(l[..., 0])
+    attn = jnp.concatenate(heads, axis=-1)  # (G, N, D) bf16
+
+    y = jax.lax.dot_general(
+        attn, wp_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    ) + bp_ref[...]
+    yb = y.astype(x.dtype).astype(_F32)  # round where proj Dense returns
+    o_ref[...] = (xf + yb * m_ref[...]).astype(o_ref.dtype)
+
+
+def _bwd_train_kernel(
+    x_ref, m_ref, do_ref, lse_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref,
+    wp_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref, ds_ref, dbl_ref,
+    *, eps: float, d: int, h: int, e: int, scale: float,
+):
+    x = x_ref[...]
+    xf = x.astype(_F32)
+    inv_d = 1.0 / d
+    mu = jnp.sum(xf, axis=-1, keepdims=True) * inv_d
+    xc = xf - mu
+    var = jnp.sum(xc * xc, axis=-1, keepdims=True) * inv_d
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    s_ln = s_ref[...]  # (1, D) f32
+    xn = xhat * s_ln + bl_ref[...]
+    xnb = xn.astype(x.dtype)
+
+    # recompute the qkv slab exactly as the forward rounded it
+    qkv = jax.lax.dot_general(
+        xnb, wqkv_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    ) + bqkv_ref[...]
+    qkvb = qkv.astype(x.dtype)
+
+    do = do_ref[...]
+    dof = do.astype(_F32)
+    dy = dof * m_ref[...]  # gradient at the proj output (post-mask)
+    dyb = dy.astype(x.dtype)
+
+    # dattn = dy @ wp^T (gradient entering the concatenated head outputs)
+    dattn = jax.lax.dot_general(
+        dyb, wp_ref[...], (((2,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+    )  # (G, N, D) f32
+    dattnb = dattn.astype(x.dtype)
+
+    heads = []
+    dqs, dks, dvs = [], [], []
+    for i in range(h):
+        q = qkvb[:, :, i * e:(i + 1) * e]
+        k = qkvb[:, :, d + i * e:d + (i + 1) * e]
+        v = qkvb[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        ) * scale  # (G, N, N)
+        p = jnp.exp(s - lse_ref[:, i, :][:, :, None])  # normalized probs
+        pb = p.astype(x.dtype)
+        # recompute this head's output for delta and the proj weight grad
+        o_i = jax.lax.dot_general(
+            pb, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        )  # (G, N, E) f32
+        heads.append(o_i.astype(x.dtype))
+        da_f = dattn[:, :, i * e:(i + 1) * e]
+        da_b = dattnb[:, :, i * e:(i + 1) * e]
+        delta = jnp.sum(da_f * o_i, axis=-1)  # (G, N)
+        dv = jax.lax.dot_general(
+            pb, da_b, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        )  # (G, N_k, E)
+        dp = jax.lax.dot_general(
+            da_b, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        )  # (G, N_q, N_k)
+        dsc = (p * (dp - delta[:, :, None]) * scale).astype(x.dtype)
+        dq = jax.lax.dot_general(
+            dsc, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        )
+        dk = jax.lax.dot_general(
+            dsc, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    attn = jnp.concatenate(heads, axis=-1)  # (G, N, D) bf16
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (G, N, 3D) f32
+    dqkvb = dqkv.astype(x.dtype)
+
+    # proj grads: dwp = attn^T dy (per-tile, then accumulated over the
+    # sequential grid); staged reductions (Mosaic keepdims fragility)
+    dwp = jnp.sum(
+        jax.lax.dot_general(
+            attn, dyb, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        ),
+        axis=0,
+    )  # (D, D)
+    dbp = jnp.sum(jnp.sum(dy, axis=1), axis=0, keepdims=True)  # (1, D)
+
+    # qkv grads
+    dwqkv = jnp.sum(
+        jax.lax.dot_general(
+            xnb, dqkvb, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+        ),
+        axis=0,
+    )  # (D, 3D)
+    dbqkv = jnp.sum(jnp.sum(dqkv, axis=1), axis=0, keepdims=True)  # (1, 3D)
+
+    dxn = jax.lax.dot_general(
+        dqkvb, wqkv_ref[...], (((2,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+    )  # (G, N, D) f32
+
+    ds = jnp.sum(jnp.sum(dxn * xhat, axis=1), axis=0, keepdims=True)
+    dbl = jnp.sum(jnp.sum(dxn, axis=1), axis=0, keepdims=True)
+
+    # LN VJP (per row): g = dxn * scale
+    g = dxn * s_ln
+    mg = jnp.sum(g, axis=-1, keepdims=True) * inv_d
+    mgx = jnp.sum(g * xhat, axis=-1, keepdims=True) * inv_d
+    dxln = rstd * (g - mg - xhat * mgx)
+    dx_ref[...] = (dof + dxln).astype(dx_ref.dtype)
+
+    i0 = pl.program_id(0)
+
+    @pl.when(i0 == 0)
+    def _init():
+        dwqkv_ref[...] = dwqkv
+        dbqkv_ref[...] = dbqkv
+        dwp_ref[...] = dwp
+        dbp_ref[...] = dbp
+        ds_ref[...] = ds
+        dbl_ref[...] = dbl
+
+    @pl.when(i0 > 0)
+    def _acc():
+        dwqkv_ref[...] += dwqkv
+        dbqkv_ref[...] += dbqkv
+        dwp_ref[...] += dwp
+        dbp_ref[...] += dbp
+        ds_ref[...] += ds
+        dbl_ref[...] += dbl
+
+
+def _full(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_train(x, mask, ln_s, ln_b, wqkv, bqkv, wp, bp, num_heads, eps,
+               interpret):
+    b, n, d = x.shape
+    e = d // num_heads
+    scale = float(e) ** -0.5
+    g = _pick_g(b)
+    tile = pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mtile = pl.BlockSpec((g, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((g, num_heads, n), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _fwd_train_kernel, eps=eps, d=d, h=num_heads, e=e, scale=scale
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[tile, mtile, _full((1, d)), _full((1, d)),
+                  _full((d, 3 * d)), _full((1, 3 * d)),
+                  _full((d, d)), _full((1, d))],
+        out_specs=(tile, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, n), _F32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x, mask.astype(_F32).reshape(b, 1, 1),
+      ln_s.reshape(1, d).astype(_F32), ln_b.reshape(1, d).astype(_F32),
+      wqkv, bqkv.reshape(1, 3 * d).astype(_F32), wp,
+      bp.reshape(1, d).astype(_F32))
+    return out, lse
+
+
+def _bwd_train(x, mask, do, lse, ln_s, ln_b, wqkv, bqkv, wp, num_heads,
+               eps, interpret):
+    b, n, d = x.shape
+    e = d // num_heads
+    scale = float(e) ** -0.5
+    g = _pick_g(b)
+    tile = pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mtile = pl.BlockSpec((g, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((g, num_heads, n), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _bwd_train_kernel, eps=eps, d=d, h=num_heads, e=e, scale=scale
+    )
+    dx, dwqkv, dbqkv, dwp, dbp, ds, dbl = pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[tile, mtile, tile, lse_spec, _full((1, d)), _full((1, d)),
+                  _full((d, 3 * d)), _full((1, 3 * d)), _full((d, d))],
+        out_specs=(
+            tile,
+            _full((d, 3 * d)), _full((1, 3 * d)),
+            _full((d, d)), _full((1, d)),
+            _full((1, d)), _full((1, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((d, 3 * d), _F32),
+            jax.ShapeDtypeStruct((1, 3 * d), _F32),
+            jax.ShapeDtypeStruct((d, d), _F32),
+            jax.ShapeDtypeStruct((1, d), _F32),
+            jax.ShapeDtypeStruct((1, d), _F32),
+            jax.ShapeDtypeStruct((1, d), _F32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # weight/LN gradient blocks are revisited every program
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, mask.astype(_F32).reshape(b, 1, 1), do, lse,
+      ln_s.reshape(1, d).astype(_F32), ln_b.reshape(1, d).astype(_F32),
+      wqkv, bqkv.reshape(1, 3 * d).astype(_F32), wp)
+    return dx, dwqkv, dbqkv, dwp, dbp, ds, dbl
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_block_attn_train(
+    x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
+    num_heads: int, eps: float = 1e-6, interpret: bool = False,
+):
+    """``x + mask * proj(MHSA(qkv(LN(x))))`` in one kernel, differentiable.
+
+    The student-path sibling of ``fused_block_attn``: no importance
+    output, a stochastic-depth multiplier per image, and a full VJP whose
+    residuals are only (x, mask, params, lse) — the qkv slab and scores
+    are recomputed in one backward kernel.
+
+    Args:
+        x: (B, N, D) activations (bf16 on the TPU path).
+        mask: (B,) f32 stochastic-depth multipliers (0 or 1/keep per
+            sample; pass ones when deterministic). Not differentiated.
+        ln_scale, ln_bias: (D,) LayerNorm affine params (f32).
+        w_qkv: (D, 3D) fused qkv kernel cast to x.dtype; b_qkv: (3D,).
+        w_proj: (D, D) projection cast to x.dtype (LayerScale gamma
+            pre-folded by the caller, differentiably); b_proj: (D,).
+
+    Returns:
+        (B, N, D) in x.dtype.
+    """
+    out, _ = _fwd_train(x, mask, ln_scale, ln_bias, w_qkv, b_qkv,
+                        w_proj, b_proj, num_heads, eps, interpret)
+    return out
+
+
+def _fba_fwd(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
+             num_heads, eps, interpret):
+    out, lse = _fwd_train(x, mask, ln_scale, ln_bias, w_qkv, b_qkv,
+                          w_proj, b_proj, num_heads, eps, interpret)
+    return out, (x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, lse)
+
+
+def _fba_bwd(num_heads, eps, interpret, res, do):
+    x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, lse = res
+    dx, dwqkv, dbqkv, dwp, dbp, ds, dbl = _bwd_train(
+        x, mask, do.astype(x.dtype), lse, ln_scale, ln_bias, w_qkv,
+        b_qkv, w_proj, num_heads, eps, interpret,
+    )
+    return (
+        dx,
+        jnp.zeros_like(mask),  # stochastic-depth mask: not a gradient path
+        ds.reshape(ln_scale.shape).astype(ln_scale.dtype),
+        dbl.reshape(ln_bias.shape).astype(ln_bias.dtype),
+        dwqkv.astype(w_qkv.dtype),
+        dbqkv.reshape(b_qkv.shape).astype(b_qkv.dtype),
+        dwp.astype(w_proj.dtype),
+        dbp.reshape(-1).astype(b_qkv.dtype),
+    )
+
+
+fused_block_attn_train.defvjp(_fba_fwd, _fba_bwd)

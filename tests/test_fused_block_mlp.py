@@ -316,6 +316,143 @@ def test_vit_full_fused_teacher_path_interpret():
     assert float(np.abs(ia - ib).max()) <= 2e-2 * max(float(ia.max()), 1e-6)
 
 
+@pytest.mark.parametrize("ls", [None, 0.7])
+def test_block_fused_attn_train_matches_module_chain(ls):
+    """The differentiable fused attention-half kernel (student path) must
+    match the einsum module chain on values, with an identical param
+    tree; LayerScale folds into the proj weights differentiably."""
+
+    def mk(impl):
+        return Block(
+            num_heads=4, mlp_ratio=4.0, importance_mode=None,
+            layerscale_init=ls, deterministic=True, dtype=jnp.bfloat16,
+            attention_impl=impl, mlp_impl="dense",
+        )
+
+    x = jnp.asarray(
+        RNG.standard_normal((4, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    blk_m, blk_f = mk("einsum"), mk("fused_block_train")
+    p_m = blk_m.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+    p_f = blk_f.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+    assert jax.tree_util.tree_structure(p_m) == jax.tree_util.tree_structure(
+        p_f
+    )
+    flat_m = jax.tree_util.tree_flatten_with_path(p_m)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(p_f)[0]
+    for (path_m, leaf_m), (path_f, leaf_f) in zip(flat_m, flat_f):
+        assert path_m == path_f
+        np.testing.assert_array_equal(np.asarray(leaf_m), np.asarray(leaf_f))
+
+    (x_m, _), (x_f, _) = blk_m.apply(p_m, x, 0.0), blk_f.apply(p_m, x, 0.0)
+    a = np.asarray(x_m, np.float32)
+    b = np.asarray(x_f, np.float32)
+    scale = float(np.abs(a).max())
+    assert float(np.abs(a - b).max()) <= 2 ** -6 * max(scale, 1.0)
+
+
+def test_block_fused_attn_train_grads_match_module_chain():
+    """Full VJP parity: gradients of sum(out^2) wrt x and every param
+    (LN affine, qkv, proj) through the fused kernel must match the
+    einsum module chain to bf16-accumulated tolerance."""
+
+    def mk(impl):
+        return Block(
+            num_heads=4, mlp_ratio=4.0, importance_mode=None,
+            deterministic=True, dtype=jnp.bfloat16,
+            attention_impl=impl, mlp_impl="dense",
+        )
+
+    x = jnp.asarray(
+        RNG.standard_normal((4, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    blk_m, blk_f = mk("einsum"), mk("fused_block_train")
+    params = blk_m.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+
+    def loss(blk):
+        def f(p, xx):
+            o, _ = blk.apply(p, xx, 0.0)
+            return (o.astype(jnp.float32) ** 2).sum()
+
+        return f
+
+    g_m = jax.grad(loss(blk_m))(params, x)["params"]
+    g_f = jax.grad(loss(blk_f))(params, x)["params"]
+    flat_m = jax.tree_util.tree_flatten_with_path(g_m)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_f)[0]
+    assert len(flat_m) == len(flat_f)
+    for (path_m, a), (path_f, b) in zip(flat_m, flat_f):
+        assert path_m == path_f
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = float(np.abs(a).max())
+        assert (
+            float(np.abs(a - b).max()) <= 0.05 * max(denom, 1.0)
+        ), jax.tree_util.keystr(path_m)
+
+    dx_m = jax.grad(lambda xx: loss(blk_m)(params, xx))(x)
+    dx_f = jax.grad(lambda xx: loss(blk_f)(params, xx))(x)
+    a = np.asarray(dx_m, np.float32)
+    b = np.asarray(dx_f, np.float32)
+    denom = float(np.abs(a).max())
+    assert float(np.abs(a - b).max()) <= 0.05 * max(denom, 1.0)
+
+
+def test_block_fused_attn_train_droppath_stream_identical():
+    """With stochastic depth active, the fused-train branch must draw the
+    SAME per-sample mask as the module DropPath (both use
+    name='drop_path1'): dropped samples are exactly the attention-half
+    residual in both, and gradients vanish on dropped samples' attention
+    params contribution."""
+    rate = 0.5
+
+    def mk(impl):
+        return Block(
+            num_heads=4, mlp_ratio=4.0, importance_mode=None,
+            drop_path_max=rate, deterministic=False, dtype=jnp.bfloat16,
+            attention_impl=impl, mlp_impl="dense",
+        )
+
+    blk_m, blk_f = mk("einsum"), mk("fused_block_train")
+    x = jnp.asarray(
+        RNG.standard_normal((16, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    params = blk_m.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(5)},
+        x, rate,
+    )
+    dp = {"droppath": jax.random.PRNGKey(42)}
+    o_m, _ = blk_m.apply(params, x, rate, rngs=dp)
+    o_f, _ = blk_f.apply(params, x, rate, rngs=dp)
+    a = np.asarray(o_m[0], np.float32)
+    b = np.asarray(o_f[0], np.float32)
+    scale = float(np.abs(a).max())
+    # identical masks => agreement to bf16 rounding; a mask mismatch on
+    # any sample would produce O(1) relative differences
+    assert float(np.abs(a - b).max()) <= 2 ** -6 * max(scale, 1.0)
+
+
+def test_block_fused_attn_train_layerscale_gamma_grad():
+    """ls1 gamma must receive gradient through the differentiable fold."""
+    blk = Block(
+        num_heads=4, mlp_ratio=4.0, importance_mode=None,
+        layerscale_init=0.7, deterministic=True, dtype=jnp.bfloat16,
+        attention_impl="fused_block_train", mlp_impl="dense",
+    )
+    x = jnp.asarray(
+        RNG.standard_normal((4, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    params = blk.init({"params": jax.random.PRNGKey(0)}, x, 0.0)
+
+    def loss(p):
+        o, _ = blk.apply(p, x, 0.0)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(params)["params"]
+    assert float(jnp.abs(g["ls1"]["gamma"]).max()) > 0.0
+    assert float(jnp.abs(g["attn"]["qkv"]["kernel"]).max()) > 0.0
+
+
 def test_block_fused_attn_falls_back_when_unfusable():
     """fused_block with active stochastic depth (non-deterministic) must
     fall back to the module chain rather than silently dropping the
