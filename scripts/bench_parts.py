@@ -132,6 +132,61 @@ def bench_student_fwd():
     print(f"student_fwd     : {ms:8.2f} ms/fwd (B={B})")
 
 
+def _student_step(attention_impl: str):
+    """Student forward+backward (sum-of-squares loss over logits+tokens)
+    — the gradient path the train step pays; compares the flash module
+    chain vs the fused_block_train kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from basd_tpu.models import create_model, init_model
+
+    bundle = create_model(
+        "deit_tiny_patch16_224", img_size=IMG, num_classes=1000,
+        drop_path_rate=0.1, remat=_REMAT, dtype=jnp.bfloat16,
+    )
+    module = bundle.module
+    if attention_impl != "auto":
+        module = module.clone(attention_impl=attention_impl)
+    variables = init_model(bundle, jax.random.PRNGKey(0), IMG)
+    x = jnp.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (B, IMG, IMG, 3)),
+        jnp.bfloat16,
+    )
+    drop = jax.random.PRNGKey(2)
+
+    def loss_fn(params, x):
+        out = module.apply(
+            {"params": params}, x, deterministic=False,
+            rngs={"droppath": drop},
+        )
+        return (
+            out["logits"].astype(jnp.float32).mean()
+            + out["tokens"].astype(jnp.float32).mean()
+        )
+
+    grad_fn = jax.grad(loss_fn)
+
+    def step(x):
+        g = grad_fn(variables["params"], x)
+        return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32).mean(), g)
+
+    ms = chained_time(step, x)
+    tag = f"student_step[{attention_impl},remat={_REMAT}]"
+    print(f"{tag:40s}: {ms:8.2f} ms (B={B})")
+
+
+_REMAT = True
+
+
+def bench_student_step():
+    _student_step("auto")
+
+
+def bench_student_step_fused():
+    _student_step("fused_block_train")
+
+
 def bench_views():
     import jax
     import jax.numpy as jnp
@@ -159,6 +214,8 @@ PARTS = {
     "teacher_barrier": bench_teacher_barrier,
     "teacher_fused": bench_teacher_fused,
     "student_fwd": bench_student_fwd,
+    "student_step": bench_student_step,
+    "student_step_fused": bench_student_step_fused,
     "views": bench_views,
 }
 
