@@ -453,6 +453,59 @@ def test_block_fused_attn_train_layerscale_gamma_grad():
     assert float(jnp.abs(g["attn"]["qkv"]["kernel"]).max()) > 0.0
 
 
+def test_vit_full_fused_student_path_grads_interpret():
+    """The complete TPU student training configuration — differentiable
+    fused attention-half kernel + fused LN+MLP kernel, under remat —
+    must produce logits/tokens AND parameter gradients matching the
+    module chain (same params) to bf16-accumulated tolerance."""
+    from basd_tpu.models.vit import ViTConfig, VisionTransformer
+
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        num_classes=10,
+    )
+    x = jnp.asarray(
+        RNG.standard_normal((4, 32, 32, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    m_ref = VisionTransformer(
+        cfg, importance_mode=None, dtype=jnp.bfloat16, remat=True,
+        attention_impl="einsum", mlp_impl="dense",
+    )
+    m_fused = VisionTransformer(
+        cfg, importance_mode=None, dtype=jnp.bfloat16, remat=True,
+        attention_impl="fused_block_train", mlp_impl="fused_ln",
+    )
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    p2 = m_fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        p2
+    )
+
+    def loss(m):
+        def f(p):
+            o = m.apply(p, x)
+            return (
+                (o["logits"].astype(jnp.float32) ** 2).sum()
+                + (o["tokens"].astype(jnp.float32) ** 2).sum()
+            )
+
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(m_ref))(params)
+    l_f, g_f = jax.value_and_grad(loss(m_fused))(params)
+    assert abs(float(l_ref) - float(l_f)) <= 0.02 * abs(float(l_ref))
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_f)[0]
+    for (path_r, a), (path_f, b) in zip(flat_r, flat_f):
+        assert path_r == path_f
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = float(np.abs(a).max())
+        assert (
+            float(np.abs(a - b).max()) <= 0.06 * max(denom, 1.0)
+        ), jax.tree_util.keystr(path_r)
+
+
 def test_block_fused_attn_falls_back_when_unfusable():
     """fused_block with active stochastic depth (non-deterministic) must
     fall back to the module chain rather than silently dropping the
