@@ -138,10 +138,15 @@ def create_model(
     remat: bool = False,
     remat_policy=None,
     collect_alias: bool = False,
+    attention_impl: str = "auto",
+    mlp_impl: str = "auto",
     dtype=jnp.float32,
 ) -> ModelBundle:
     """Build a model by preset name (the reference's
-    ``timm.create_model`` + ``probe_model`` in one step)."""
+    ``timm.create_model`` + ``probe_model`` in one step).
+
+    ``attention_impl`` / ``mlp_impl`` select the block kernel dispatch
+    for ViT models (see ``models.layers.Block``); CNNs ignore them."""
     if name in _VIT_PRESETS:
         preset = dict(_VIT_PRESETS[name])
         patch = preset.pop("patch_size")
@@ -158,6 +163,7 @@ def create_model(
         module = VisionTransformer(
             cfg, importance_mode=importance_mode, remat=remat,
             remat_policy=remat_policy, collect_alias=collect_alias,
+            attention_impl=attention_impl, mlp_impl=mlp_impl,
             dtype=dtype
         )
         return ModelBundle(name, module, cfg, _vit_info(cfg))
@@ -217,6 +223,7 @@ def create_model(
         module = VisionTransformer(
             cfg, importance_mode=importance_mode, remat=remat,
             remat_policy=remat_policy, collect_alias=collect_alias,
+            attention_impl=attention_impl, mlp_impl=mlp_impl,
             dtype=dtype
         )
         return ModelBundle(name, module, cfg, _vit_info(cfg))
@@ -300,6 +307,7 @@ def load_teacher(
     checkpoint_path: str | None = None,
     dtype=jnp.bfloat16,
     arch_overrides: dict | None = None,
+    attention_impl: str = "auto",
 ) -> tuple[ModelBundle, dict]:
     """Build the frozen teacher (reference: ``load_teacher``,
     ``src/models/teacher.py:113-148``). Returns (bundle, variables).
@@ -325,6 +333,7 @@ def load_teacher(
         # aliased carried stack (no unrolled-scan concatenate); the
         # module falls back to scan-with-collect when remat'd
         collect_alias=is_vit,
+        attention_impl=attention_impl,
         dtype=dtype,
     )
     variables = init_model(bundle, jax.random.PRNGKey(seed), img_size)

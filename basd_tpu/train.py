@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> None:
             if hasattr(teacher_arch, "to_dict")
             else dict(teacher_arch) if teacher_arch else None
         ),
+        attention_impl=config.tpu.get("teacher_attention_impl", "auto"),
     )
 
     # calibration: intrinsic-dim student auto-sizing for token teachers
@@ -109,6 +110,8 @@ def main(argv: list[str] | None = None) -> None:
         importance_mode=None,
         remat=bool(config.tpu.get("remat", True)),
         remat_policy=config.tpu.get("remat_policy"),
+        attention_impl=config.tpu.get("student_attention_impl", "auto"),
+        mlp_impl=config.tpu.get("student_mlp_impl", "auto"),
         dtype=compute_dtype,
     )
     student_vars = init_model(
