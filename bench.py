@@ -42,6 +42,10 @@ WARMUP_STEPS = 5
 TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 30))
 IMG = 224
 _REMAT = os.environ.get("BENCH_REMAT", "full")  # full | dots | none
+# block-kernel dispatch A/B knobs (see models/layers.py Block.__call__):
+# auto | flash | einsum | fused_block (teacher) / fused_block_train (student)
+_TEACHER_ATTN = os.environ.get("BENCH_TEACHER_ATTN", "auto")
+_STUDENT_ATTN = os.environ.get("BENCH_STUDENT_ATTN", "auto")
 
 
 def main() -> None:
@@ -100,12 +104,15 @@ def main() -> None:
     teacher = create_model(
         "deit_small_patch16_224", img_size=IMG, num_classes=0,
         importance_mode="cls", dtype=jnp.bfloat16,
+        attention_impl=_TEACHER_ATTN,
+        collect_alias=True,
     )
     t_vars = init_model(teacher, jax.random.PRNGKey(1), IMG)
     student = create_model(
         "deit_tiny_patch16_224", img_size=IMG, num_classes=100,
         drop_path_rate=0.1, remat=_REMAT != "none",
         remat_policy="dots" if _REMAT == "dots" else None,
+        attention_impl=_STUDENT_ATTN,
         dtype=jnp.bfloat16,
     )
     s_vars = init_model(student, jax.random.PRNGKey(2), IMG, fan_in_init=True)
