@@ -68,6 +68,8 @@ def _canvas_channel_stats(imgs: np.ndarray, limit: int) -> tuple[list, list]:
         mean += delta * n / new_count
         m2 += bv * n + delta**2 * count * n / new_count
         count = new_count
+    if count == 0:
+        raise ValueError("cannot compute channel stats from an empty split")
     std = np.sqrt(m2 / count)
     return mean.tolist(), std.tolist()
 
@@ -136,13 +138,20 @@ def build_canvas_cache(
                     flush=True,
                 )
         assert i == n, f"source yielded {i} != split_size {n}"
-        if split == "train":
+        # Record stats from the train split when present, else from the
+        # first non-empty split (eval-only robustness caches have no
+        # 'train'; without this the cache would have no channel_mean and
+        # CachedSource.channel_stats() would fail later).
+        want_stats = split == "train" or (
+            "train" not in splits and "channel_mean" not in meta and n > 0
+        )
+        if want_stats:
             if channel_stats is not None:
                 mean, std = channel_stats
                 meta["channel_stats_source"] = "provided"
             else:
                 mean, std = _canvas_channel_stats(imgs, _CHANNEL_STATS_SAMPLES)
-                meta["channel_stats_source"] = "canvas"
+                meta["channel_stats_source"] = f"canvas:{split}"
             meta["channel_mean"] = list(map(float, mean))
             meta["channel_std"] = list(map(float, std))
         imgs.flush()
@@ -193,6 +202,13 @@ class CachedSource:
         return int(self.meta["num_classes"])
 
     def channel_stats(self) -> tuple[tuple, tuple]:
+        if "channel_mean" not in self.meta:
+            raise KeyError(
+                f"cache for '{self.name}' has no channel stats (built from "
+                f"splits {list(self.meta['splits'])} before stats covered "
+                f"non-train builds) — rebuild it, or pass explicit "
+                f"channel_stats to build_canvas_cache"
+            )
         return (
             tuple(self.meta["channel_mean"]),
             tuple(self.meta["channel_std"]),

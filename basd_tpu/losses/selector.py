@@ -93,6 +93,57 @@ def temperatures(params: dict) -> jnp.ndarray:
     return jax.nn.softplus(params["log_temperatures"])
 
 
+def _token_gram(toks: jnp.ndarray) -> jnp.ndarray:
+    """(K, B, N, D) -> (K, D, D) f32 Gram in TOKEN space.
+
+    4-D form (contract b,n directly, no (K, B*N, D) reshape): the 4-D
+    einsum keeps the dot read layout-free for the teacher's cls-strip
+    slice of the aliased collection stack. bf16 x bf16 products are
+    exact in the f32 accumulator, so bf16 inputs use DEFAULT (full-rate
+    MXU) precision.
+    """
+    prec = None if toks.dtype == jnp.bfloat16 else _PROJ_PREC
+    return jnp.einsum(
+        "kbnd,kbne->kde", toks, toks,
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+
+
+def _centered_gram(
+    toks: jnp.ndarray, proj: jnp.ndarray, m: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, D_s, D_s) centered Gram of the projected tokens + (K, D_s)
+    projected channel means.
+
+    Formed via the shift identity: for ANY constant c,
+    ``P[(T-c)^T(T-c)]P^T - m (P d)(P d)^T`` with ``d = mu - c`` equals
+    the centered Gram identically (same value AND gradient). With
+    ``c = stop_gradient(mu)`` both terms live at the CENTERED numerical
+    scale, which matters because ViT/DINOv2 activations carry outlier
+    channels whose means dwarf the centered scale: Gramming raw tokens
+    and subtracting ``m mu mu^T`` cancels in f32 (the Gram entries are
+    stored at O(m mu^2) magnitude, so eps32*m*mu_max^2 of absolute
+    noise survives — measured ~0.6% of centered scale and an MP-rank
+    flip at mu/sigma ~ 300; locked by
+    tests/test_selector.py::test_centered_gram_outlier_channel_means).
+    Costs one materialization of the shifted stack at the input dtype
+    (bf16 rounding of the shifted values enters at sigma-scale, below
+    the bf16 input noise already present).
+    """
+    from basd_tpu.ops.linalg import HI
+
+    mu_dt = jnp.float32 if toks.dtype == jnp.bfloat16 else toks.dtype
+    mu_tok = jnp.mean(toks, axis=(1, 2), dtype=mu_dt)  # (K, D)
+    shift = jax.lax.stop_gradient(mu_tok)
+    shifted = (toks - shift[:, None, None, :]).astype(toks.dtype)
+    sand = jnp.einsum(
+        "si,kij,tj->kst", proj, _token_gram(shifted), proj, precision=HI,
+    )
+    mu_p = mu_tok @ proj.T  # (K, D_s)
+    d = mu_p - shift @ proj.T
+    return sand - m * d[:, :, None] * d[:, None, :], mu_p
+
+
 def select_and_mix(
     params: dict,
     buffers: dict,
@@ -142,10 +193,23 @@ def select_and_mix(
         # directly and sandwich-projected by the frozen orthogonal maps.
         # bf16 x bf16 products are EXACT in f32 (8+8 mantissa bits < 24),
         # so the DEFAULT-precision MXU einsum with f32 accumulation is
-        # both exact-per-product and full-rate — more accurate AND faster
-        # than the previous 3-pass-f32 projection chain, and it frees
-        # ~1.2 GB of per-step HBM at B=512 (~2.4 GB at B=1024, the
-        # difference that makes batch 1024 fit).
+        # exact-per-product and full-rate. Frees ~1.2 GB of per-step HBM
+        # at B=512 (~2.4 GB at B=1024, the difference that makes batch
+        # 1024 fit).
+        #
+        # Numerics: ViT/DINOv2 activations carry outlier channels whose
+        # means dwarf the centered scale; Gramming RAW tokens and then
+        # subtracting M*mu*mu^T cancels in f32 (the gram entries are
+        # stored at O(M*mu^2) magnitude, so eps32*M*mu_max^2 of absolute
+        # noise survives the subtraction — measured ~0.6% of centered
+        # scale and an MP-rank flip at mu/sigma ~ 300). So the Gram is
+        # formed from tokens SHIFTED by a stop-gradient channel mean:
+        # for ANY constant c, (T-c)^T(T-c) - M(mu-c)(mu-c)^T is
+        # identically the centered Gram (same value AND gradient), and
+        # with c ~= mu both terms live at the centered scale — no
+        # cancellation. Costs one bf16 materialization of the shifted
+        # stack (the rounding enters at sigma-scale, below the bf16
+        # input noise already present).
         from basd_tpu.ops.linalg import (
             HI,
             _safe_sqrt,
@@ -153,37 +217,10 @@ def select_and_mix(
             safe_eigh,
         )
 
-        def token_gram(toks):  # (K, B, N, D) -> (K, D, D), f32
-            # 4-D form (contract b,n directly, no (K, B*N, D) reshape):
-            # when the tokens arrive as a lazy cls-strip slice of the
-            # teacher's aliased collection stack, a reshape across the
-            # sliced axis would force a materialized 0.9 GB copy; the
-            # 4-D einsum lets XLA fuse the slice into the dot read.
-            prec = None if toks.dtype == jnp.bfloat16 else _PROJ_PREC
-            return jnp.einsum(
-                "kbnd,kbne->kde", toks, toks,
-                precision=prec, preferred_element_type=jnp.float32,
-            )
-
-        mu_t = (
-            jnp.mean(t_tokens, axis=(1, 2), dtype=jnp.float32) @ proj_t.T
-        )  # (L, D_s)
-        sand_t = jnp.einsum(
-            "si,lij,tj->lst", proj_t, token_gram(t_tokens), proj_t,
-            precision=HI,
-        )
-        gram_tc = sand_t - m_t * mu_t[:, :, None] * mu_t[:, None, :]
+        gram_tc, mu_t = _centered_gram(t_tokens, proj_t, m_t)
 
         m_s = student_tokens.shape[1] * student_tokens.shape[2]
-        mu_s = (
-            jnp.mean(student_tokens, axis=(1, 2), dtype=jnp.float32)
-            @ proj_s.T
-        )
-        sand_s = jnp.einsum(
-            "si,pij,tj->pst", proj_s, token_gram(student_tokens), proj_s,
-            precision=HI,
-        )
-        gram_sc = sand_s - m_s * mu_s[:, :, None] * mu_s[:, None, :]
+        gram_sc, _ = _centered_gram(student_tokens, proj_s, m_s)
 
         stacked = jnp.concatenate(
             [jax.lax.stop_gradient(gram_tc), gram_sc], axis=0

@@ -150,10 +150,13 @@ def main() -> None:
             k in msg.lower() for k in ("http", "internal", "server", "compil")
         )
 
-    opt_state0 = trainer.opt_state
+    # the train step donates opt_state, so the snapshot (and each attempt's
+    # working copy) must be a REAL device copy — a reference would hand
+    # already-deleted buffers to the step on retry after a partial warmup.
+    opt_state0 = jax.tree_util.tree_map(jnp.copy, trainer.opt_state)
     for attempt in range(4):
         try:
-            trainer.opt_state = opt_state0
+            trainer.opt_state = jax.tree_util.tree_map(jnp.copy, opt_state0)
             k2 = key
             for i in range(WARMUP_STEPS):
                 k2, sub = jax.random.split(k2)

@@ -202,8 +202,13 @@ def bench_views():
     def views(key_f):
         key = jax.random.PRNGKey(0)
         key = jax.random.fold_in(key, (key_f * 1e9).astype(jnp.int32))
-        clean, augd = aug.make_train_views(key, imgs, IMG, stats, stats)
-        return clean.mean(), augd.mean()
+        # out_dtype matches the production train step (bf16 on TPU —
+        # trainer.py views_dtype); timing f32 views would charge two
+        # extra full (B,S,S,3) HBM slabs the real step no longer pays.
+        clean, augd = aug.make_train_views(
+            key, imgs, IMG, stats, stats, out_dtype=jnp.bfloat16
+        )
+        return clean.astype(jnp.float32).mean(), augd.astype(jnp.float32).mean()
 
     ms = chained_time(views, jax.numpy.float32(1.0))
     print(f"views           : {ms:8.2f} ms (B={B})")

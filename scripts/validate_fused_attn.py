@@ -72,10 +72,25 @@ def main():
             f" (scale {np.abs(t_ref[layer]).mean():.3e})"
             f"  imp max={di.max():.3e}"
         )
-    tok_rel = np.abs(t_ref - t_f).max() / max(scale, 1e-9)
+    # Gate at the documented threshold (docstring: ~1e-2 relative signals
+    # a lowering bug). A systematic Mosaic precision bug (e.g. in-kernel
+    # dots silently at single-pass bf16) shows up as percent-level MEAN
+    # divergence; isolated bf16 round-point differences on outlier tokens
+    # only move the max. Gate both, with the mean gate strict.
+    dt_all = np.abs(t_ref - t_f)
+    tok_mean_rel = dt_all.mean() / max(scale, 1e-9)
+    tok_max_rel = dt_all.max() / max(scale, 1e-9)
     imp_max = np.abs(imp_ref - imp_f).max()
-    ok = tok_rel < 2e-1 and imp_max < 1e-3 and np.isfinite(t_f).all()
-    print(f"tok_rel_max={tok_rel:.3e} imp_max={imp_max:.3e} ok={ok}")
+    ok = (
+        tok_mean_rel < 2e-3
+        and tok_max_rel < 3e-2
+        and imp_max < 1e-3
+        and np.isfinite(t_f).all()
+    )
+    print(
+        f"tok_mean_rel={tok_mean_rel:.3e} tok_max_rel={tok_max_rel:.3e} "
+        f"imp_max={imp_max:.3e} ok={ok}"
+    )
     sys.exit(0 if ok else 1)
 
 

@@ -489,3 +489,25 @@ def test_hf_source_lazy_split_load(monkeypatch):
     )
     assert batch["image"].shape == (4, 24, 24, 3)
     assert batch["label"].dtype == np.int32
+
+
+def test_canvas_cache_eval_only_build_has_stats(tmp_path):
+    """An eval-only cache (the natural shape of a robustness dataset,
+    which has no train split) must still record channel stats — from the
+    first non-empty processed split — so CachedSource.channel_stats()
+    works (advisor r3: previously only 'train' wrote stats, leaving
+    eval-only caches with a later KeyError)."""
+    from basd_tpu.data.cache import CachedSource, build_canvas_cache
+    from basd_tpu.data.sources import SyntheticSource
+
+    name = "synthetic/tiny"
+    build_canvas_cache(
+        SyntheticSource(name), name, tmp_path, 40,
+        splits=("eval",), verbose=False,
+    )
+    cached = CachedSource(name, tmp_path)
+    assert cached.split_size("eval") > 0
+    mean, std = cached.channel_stats()
+    assert len(mean) == 3 and len(std) == 3
+    assert all(0.0 < m < 1.0 for m in mean) and all(s > 0 for s in std)
+    assert cached.meta["channel_stats_source"] == "canvas:eval"

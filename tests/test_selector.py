@@ -466,3 +466,62 @@ def test_cnn_to_vit_loss_parity():
         np.asarray(aux["mix_weights"]), np.ones((p, 1)), atol=1e-6
     )
     np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_centered_gram_outlier_channel_means():
+    """ViT/DINOv2 activations carry outlier channels whose means dwarf
+    the centered scale. The f32 fast-path centered Gram must not lose
+    the centered signal to cancellation: Gramming RAW tokens and
+    subtracting M*mu*mu^T stores entries at O(M*mu^2) and leaves
+    eps32*M*mu_max^2 of noise (~5e-3 relative at mu/sigma=300, enough
+    to flip MP ranks); the shipped shift-identity formulation stays at
+    ~1e-4. Locks the fix at a 1e-3 gate (x10 margin both ways)."""
+    from basd_tpu.losses.selector import _centered_gram
+
+    rng = np.random.default_rng(11)
+    b, n, dt, ds = 16, 50, 96, 48
+    m = b * n
+    tok = rng.normal(0.0, 1.0, (1, b, n, dt))
+    tok[..., 0] += 100.0  # outlier channels, DINOv2-register scale
+    tok[..., 1] += 300.0
+    tok_bf16 = jnp.asarray(tok, jnp.bfloat16)  # production dtype
+    proj = np.linalg.qr(rng.standard_normal((dt, ds)))[0].T
+    proj_j = jnp.asarray(proj, jnp.float32)
+
+    gram, mu_p = jax.jit(lambda t, p: _centered_gram(t, p, m))(
+        tok_bf16, proj_j
+    )
+    gram = np.asarray(gram, np.float64)
+
+    # f64 center-then-Gram oracle on the SAME bf16-quantized tokens
+    # (isolates the formulation error from input quantization)
+    t64 = np.asarray(tok_bf16, np.float64).reshape(1, m, dt)
+    t64c = t64 - t64.mean(1, keepdims=True)
+    z = t64c @ proj.T
+    ref = np.einsum("kmi,kmj->kij", z, z)
+
+    scale = np.abs(ref).max()
+    rel = np.abs(gram - ref).max() / scale
+    assert rel < 1e-3, f"centered-Gram cancellation regression: {rel:.2e}"
+    np.testing.assert_allclose(
+        np.asarray(mu_p, np.float64),
+        t64.mean(1) @ proj.T,
+        rtol=0, atol=2e-3,
+    )
+
+    # gradient of the shifted formulation equals the analytic centered-
+    # Gram gradient d tr(W G_c)/dT = 2 T_c (P^T W P) for symmetric W
+    tok_f32 = jnp.asarray(tok, jnp.float32)
+    w_sym = rng.standard_normal((ds, ds))
+    w_sym = jnp.asarray(w_sym + w_sym.T, jnp.float32)
+    g = jax.grad(
+        lambda t: jnp.sum(_centered_gram(t, proj_j, m)[0][0] * w_sym)
+    )(tok_f32)
+    tc = np.asarray(tok_f32, np.float64) - np.asarray(
+        tok_f32, np.float64
+    ).mean((1, 2), keepdims=True)
+    g_ref = 2.0 * tc @ (proj.T @ np.asarray(w_sym, np.float64) @ proj)
+    np.testing.assert_allclose(
+        np.asarray(g, np.float64), g_ref,
+        rtol=0, atol=2e-2 * np.abs(g_ref).max(),
+    )
