@@ -5,7 +5,8 @@ iteration, timed to a scalar value fetch (the only honest timing through
 the axon remote-dispatch tunnel — see CLAUDE.md).
 
 Usage: python scripts/bench_parts.py [part ...]
-  parts: teacher teacher_barrier student_fwd student_step views
+  parts: teacher teacher_barrier teacher_fused student_fwd student_step
+         student_step_fused loss_step views
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ITERS = 20
 B = 512
 IMG = 224
+LOSS_DTYPE = "bfloat16"
 
 
 def chained_time(fn, *args, iters=ITERS):
@@ -187,6 +189,57 @@ def bench_student_step_fused():
     _student_step("fused_block_train")
 
 
+def bench_loss_step():
+    """Full BASD loss (selector eigh/Jacobi + NS-polar Procrustes +
+    UW-SO) value_and_grad at production shapes — the ~36 ms loss slice
+    of the train step (stacked 192^2 eigh ~17, NS ~11, principal-angle
+    Jacobi ~8), isolated from the model passes."""
+    import jax
+    import jax.numpy as jnp
+
+    from basd_tpu.losses import BASDLossConfig, basd_loss, init_basd_loss
+
+    l_t, n_t, d_t = 12, 196, 384
+    p, n_s, d_s, c = 4, 196, 192, 1000
+    cfg = BASDLossConfig(
+        student_dim=d_s, teacher_dim=d_t, student_depth=12,
+        num_student_tokens=n_s, num_extraction_points=p,
+        label_smoothing=0.1, teacher_has_cls_token=True,
+    )
+    params, buffers = init_basd_loss(jax.random.PRNGKey(0), cfg)
+    # LOSS_DTYPE knob: XLA-CPU's dot thunk can't run bf16 x bf16 = f32,
+    # so CPU smoke tests override this to float32.
+    tok_dt = jnp.dtype(LOSS_DTYPE)
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    t_tok = jax.random.normal(ks[0], (l_t, B, n_t, d_t), tok_dt)
+    t_imp = jax.nn.softmax(
+        jax.random.normal(ks[1], (l_t, B, n_t), jnp.float32)
+    )
+    s_tok = jax.random.normal(ks[2], (p, B, n_s, d_s), tok_dt)
+    logits = jax.random.normal(ks[3], (B, c), jnp.float32)
+    labels = jax.random.randint(ks[4], (B,), 0, c, jnp.int32)
+
+    def loss_fn(params, s_tok, logits):
+        loss, _ = basd_loss(
+            params, buffers, logits, labels, s_tok, t_tok, t_imp, cfg
+        )
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))
+
+    def step(s_tok, logits):
+        loss, (gp, gs, gl) = grad_fn(params, s_tok, logits)
+        return (
+            loss,
+            gs.astype(jnp.float32).mean(),
+            gl.mean(),
+            sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(gp)),
+        )
+
+    ms = chained_time(step, s_tok, logits)
+    print(f"loss_step       : {ms:8.2f} ms (B={B}, L={l_t}, P={p})")
+
+
 def bench_views():
     import jax
     import jax.numpy as jnp
@@ -221,6 +274,7 @@ PARTS = {
     "student_fwd": bench_student_fwd,
     "student_step": bench_student_step,
     "student_step_fused": bench_student_step_fused,
+    "loss_step": bench_loss_step,
     "views": bench_views,
 }
 
