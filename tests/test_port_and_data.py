@@ -511,3 +511,101 @@ def test_canvas_cache_eval_only_build_has_stats(tmp_path):
     assert len(mean) == 3 and len(std) == 3
     assert all(0.0 < m < 1.0 for m in mean) and all(s > 0 for s in std)
     assert cached.meta["channel_stats_source"] == "canvas:eval"
+
+
+# ------------------------------------------------------- reverse export
+
+
+def test_export_roundtrip_exact():
+    """port(export(params)) must reproduce the flax tree EXACTLY —
+    any forgotten leaf, missed transpose, or wrong refold breaks tree
+    structure or values (reference consumes these .pth files via
+    src/eval.py:29-31)."""
+    import jax
+
+    from basd_tpu.models import create_model, init_model
+    from basd_tpu.models.export import vit_state_dict_from_params
+    from basd_tpu.models.port import vit_params_from_torch
+
+    bundle = create_model(
+        "deit_tiny_patch16_224", img_size=64, num_classes=17,
+        dtype=jnp.float32,
+    )
+    params = init_model(bundle, jax.random.PRNGKey(3), 64)["params"]
+    sd = vit_state_dict_from_params(params)
+    back = vit_params_from_torch(
+        {k: torch.from_numpy(v) for k, v in sd.items()},
+        depth=bundle.cfg.depth, has_layerscale=False,
+    )
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.asarray, params)
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+
+def test_export_roundtrip_layerscale():
+    """LayerScale (dinov2-style) gammas must export under the modern
+    ls1/ls2.gamma naming and survive the roundtrip."""
+    import jax
+
+    from basd_tpu.models import create_model, init_model
+    from basd_tpu.models.export import vit_state_dict_from_params
+    from basd_tpu.models.port import vit_params_from_torch
+
+    bundle = create_model(
+        "dinov2_vits14", img_size=56, num_classes=0,
+        arch_overrides=dict(embed_dim=64, depth=3, num_heads=2,
+                            mlp_ratio=2.0),
+        dtype=jnp.float32,
+    )
+    params = init_model(bundle, jax.random.PRNGKey(4), 56)["params"]
+    sd = vit_state_dict_from_params(params)
+    assert "blocks.0.ls1.gamma" in sd and "blocks.2.ls2.gamma" in sd
+    back = vit_params_from_torch(
+        {k: torch.from_numpy(v) for k, v in sd.items()},
+        depth=3, has_layerscale=True,
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+
+def test_export_matches_timm_manifest(tmp_path):
+    """The exported state dict must carry EXACTLY the real timm
+    deit_tiny key set and shapes (vendored manifest), and load back
+    through torch.load — i.e. the reference's torch tooling can consume
+    a student trained here."""
+    import json
+    from pathlib import Path
+
+    import jax
+
+    from basd_tpu.models import create_model, init_model
+    from basd_tpu.models.export import save_torch_checkpoint
+
+    bundle = create_model(
+        "deit_tiny_patch16_224", img_size=224, num_classes=1000,
+        dtype=jnp.float32,
+    )
+    params = init_model(bundle, jax.random.PRNGKey(5), 224)["params"]
+    out = tmp_path / "student.pth"
+    save_torch_checkpoint(out, params, epoch=7)
+    payload = torch.load(out, weights_only=True)
+    assert payload["epoch"] == 7
+    sd = payload["model_state_dict"]
+
+    manifest = json.loads(
+        (Path(__file__).parent / "fixtures" / "manifests" /
+         "deit_tiny_patch16_224.json").read_text()
+    )
+    assert set(sd) == set(manifest)
+    for k, shape in manifest.items():
+        assert list(sd[k].shape) == list(shape), k
