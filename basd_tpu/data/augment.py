@@ -832,10 +832,14 @@ def mixup_cutmix(
     def do_mixup(_):
         # blend in the image dtype (bf16 on the TPU fast path — halves
         # the HBM traffic of the 3-slab blend; values differ from the
-        # f32 blend by <= 1 ulp of the image dtype)
+        # f32 blend by <= 1 ulp of the image dtype). The rounded lam_i
+        # IS the effective pixel coefficient, so return it for the
+        # target mix too — images and labels mix with the SAME lambda
+        # (reference trainer.py:138 semantics), within 1 bf16 ulp of
+        # the f32 beta draw.
         lam_i = lam.astype(images.dtype)
         mixed = lam_i * images + (1.0 - lam_i) * rolled_img
-        return mixed, lam
+        return mixed, lam_i.astype(lam.dtype)
 
     def do_cutmix(_):
         r_y = jax.random.randint(k_box, (), 0, h)

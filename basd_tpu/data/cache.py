@@ -215,6 +215,12 @@ class CachedSource:
         )
 
     def class_names(self) -> tuple:
+        if "class_names" not in self.meta:
+            raise KeyError(
+                f"cache for '{self.name}' has no class names (built from a "
+                f"source that does not expose class_names()) — rebuild it "
+                f"with basd-cache, or from a source with class names"
+            )
         return tuple(self.meta["class_names"])
 
     def _arrays(self, split: str, out_size: int):

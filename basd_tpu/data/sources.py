@@ -367,5 +367,8 @@ def stats_from_config(config) -> tuple[tuple, tuple]:
     if config.data.get("source", "hf") == "cached" and not is_synthetic(name):
         from basd_tpu.data.cache import CachedSource
 
-        return CachedSource(name, config.data.get("cache_dir")).channel_stats()
+        cache_dir = config.data.get("cache_dir")
+        if cache_dir is None:
+            raise ValueError("data.source=cached requires data.cache_dir")
+        return CachedSource(name, cache_dir).channel_stats()
     return get_channel_stats(name)

@@ -88,8 +88,10 @@ def vit_state_dict_from_params(params: dict) -> dict:
     return sd
 
 
-def save_torch_checkpoint(path, params: dict, epoch: int | None = None) -> None:
-    """Write a reference-consumable ``{epoch, model_state_dict}`` .pth."""
+def save_torch_checkpoint(path, params: dict, epoch: int | None = None) -> int:
+    """Write a reference-consumable ``{epoch, model_state_dict}`` .pth.
+
+    Returns the number of tensors written."""
     import torch
 
     sd = {
@@ -100,6 +102,7 @@ def save_torch_checkpoint(path, params: dict, epoch: int | None = None) -> None:
     if epoch is not None:
         payload["epoch"] = int(epoch)
     torch.save(payload, str(path))
+    return len(sd)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -136,8 +139,7 @@ def main(argv: list[str] | None = None) -> None:
     variables = init_model(bundle, jax.random.PRNGKey(config.run.seed),
                            config.model.vit.img_size)
     params, epoch = load_weights(config.checkpoint.path, variables["params"])
-    save_torch_checkpoint(out_path, params, epoch)
-    n = len(vit_state_dict_from_params(params))
+    n = save_torch_checkpoint(out_path, params, epoch)
     print(f"exported path={out_path} tensors={n} epoch={epoch}")
 
 

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from basd_tpu.ops.pallas.flash_attention import _pick_block_b
+
 _F32 = jnp.float32
 
 
@@ -103,13 +105,6 @@ def _fwd_kernel(
     imp_ref[...] = imp_acc
 
 
-def _pick_g(b: int) -> int:
-    for g in (8, 4, 2):
-        if b % g == 0:
-            return g
-    return 1
-
-
 def fused_block_attn(
     x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
     num_heads: int, eps: float = 1e-6, interpret: bool = False,
@@ -130,26 +125,20 @@ def fused_block_attn(
     b, n, d = x.shape
     e = d // num_heads
     scale = float(e) ** -0.5
-    g = _pick_g(b)
+    g = _pick_block_b(b)
     tile = pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     imp_spec = pl.BlockSpec((g, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-
-    def full(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
-                            memory_space=pltpu.VMEM)
-
     kernel = functools.partial(
         _fwd_kernel, eps=eps, d=d, h=num_heads, e=e, scale=scale
     )
     out, imp = pl.pallas_call(
         kernel,
         grid=(b // g,),
-        in_specs=[tile, full((1, d)), full((1, d)),
-                  full((d, 3 * d)), full((1, 3 * d)),
-                  full((d, d)), full((1, d))],
+        in_specs=[tile, _full((1, d)), _full((1, d)),
+                  _full((d, 3 * d)), _full((1, 3 * d)),
+                  _full((d, d)), _full((1, d))],
         out_specs=(tile, imp_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, d), x.dtype),
@@ -367,7 +356,7 @@ def _fwd_train(x, mask, ln_s, ln_b, wqkv, bqkv, wp, bp, num_heads, eps,
     b, n, d = x.shape
     e = d // num_heads
     scale = float(e) ** -0.5
-    g = _pick_g(b)
+    g = _pick_block_b(b)
     tile = pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     mtile = pl.BlockSpec((g, 1, 1), lambda i: (i, 0, 0),
@@ -405,7 +394,7 @@ def _bwd_train(x, mask, do, lse, ln_s, ln_b, wqkv, bqkv, wp, num_heads,
     b, n, d = x.shape
     e = d // num_heads
     scale = float(e) ** -0.5
-    g = _pick_g(b)
+    g = _pick_block_b(b)
     tile = pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     mtile = pl.BlockSpec((g, 1, 1), lambda i: (i, 0, 0),
@@ -480,11 +469,12 @@ def _fba_fwd(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
              num_heads, eps, interpret):
     out, lse = _fwd_train(x, mask, ln_scale, ln_bias, w_qkv, b_qkv,
                           w_proj, b_proj, num_heads, eps, interpret)
-    return out, (x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, lse)
+    return out, (x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
+                 lse)
 
 
 def _fba_bwd(num_heads, eps, interpret, res, do):
-    x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, lse = res
+    x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, lse = res
     dx, dwqkv, dbqkv, dwp, dbp, ds, dbl = _bwd_train(
         x, mask, do.astype(x.dtype), lse, ln_scale, ln_bias, w_qkv,
         b_qkv, w_proj, num_heads, eps, interpret,
@@ -497,7 +487,7 @@ def _fba_bwd(num_heads, eps, interpret, res, do):
         dwqkv.astype(w_qkv.dtype),
         dbqkv.reshape(b_qkv.shape).astype(b_qkv.dtype),
         dwp.astype(w_proj.dtype),
-        dbp.reshape(-1).astype(b_qkv.dtype),
+        dbp.reshape(b_proj.shape).astype(b_proj.dtype),
     )
 
 

@@ -248,10 +248,13 @@ def test_make_train_views_bf16_is_exact_cast_of_f32():
 
 def test_mixup_blend_bf16_close_to_f32_blend():
     """The in-dtype MixUp blend on bf16 images must agree with the f32
-    blend to bf16 rounding (<= 1 ulp of the blended value)."""
+    blend to bf16 rounding, and the soft targets must mix with EXACTLY
+    the coefficient applied to the pixels (the bf16-rounded lambda on
+    the bf16 path) — images and labels never use different lambdas."""
     imgs32 = jnp.asarray(RNG.standard_normal((8, 16, 16, 3)), jnp.float32)
     imgs16 = imgs32.astype(jnp.bfloat16)
     labels = jnp.asarray(RNG.integers(0, 10, 8))
+    onehot = np.eye(10, dtype=np.float32)[np.asarray(labels)]
     for seed in range(8):
         key = jax.random.PRNGKey(seed)
         m32, t32 = A.mixup_cutmix(key, imgs32, labels, 10)
@@ -262,9 +265,23 @@ def test_mixup_blend_bf16_close_to_f32_blend():
         # bf16 has 8 mantissa bits: 2^-8 relative per element, doubled
         # for the two roundings in the blend
         assert np.max(np.abs(a - bm)) <= 2 ** -7 * max(np.abs(a).max(), 1.0)
+        # targets follow the pixel lambda: identical on the cutmix
+        # branch, <= 1 bf16 ulp apart on the mixup branch
         np.testing.assert_allclose(
-            np.asarray(t32), np.asarray(t16), rtol=1e-6, atol=1e-6
+            np.asarray(t32), np.asarray(t16), rtol=2 ** -8, atol=2 ** -9
         )
+        # white-box branch replication: on the mixup branch, the bf16
+        # pixel blend and the targets must both use the SAME rounded lam
+        k_choice, k_lam, _ = jax.random.split(key, 3)
+        if bool(jax.random.bernoulli(k_choice, 0.5)):
+            lam16 = jax.random.beta(k_lam, 1.0, 1.0).astype(jnp.bfloat16)
+            ref16 = lam16 * imgs16 + (1.0 - lam16) * jnp.roll(imgs16, 1, 0)
+            np.testing.assert_array_equal(
+                np.asarray(m16, np.float32), np.asarray(ref16, np.float32)
+            )
+            lam_f = float(jnp.asarray(lam16, jnp.float32))
+            ref_t = lam_f * onehot + (1.0 - lam_f) * np.roll(onehot, 1, 0)
+            np.testing.assert_array_equal(np.asarray(t16), ref_t)
 
 
 def test_make_eval_view():

@@ -347,6 +347,44 @@ def test_cached_source_from_config(tmp_path):
         make_source("some/hf_dataset", "cached")
 
 
+def test_stats_from_config_cached_requires_cache_dir():
+    """stats_from_config hits the same actionable guard as make_source
+    when data.source=cached but data.cache_dir is unset (it runs FIRST
+    in run_eval_suite, so it must not die with a Path(None) TypeError)."""
+    from basd_tpu.config.core import ConfigNode
+    from basd_tpu.data.sources import stats_from_config
+
+    config = ConfigNode(
+        {"data": {"dataset": "some/hf_dataset", "source": "cached"}}
+    )
+    with pytest.raises(ValueError, match="cache_dir"):
+        stats_from_config(config)
+
+
+def test_cached_source_missing_class_names_is_actionable(tmp_path):
+    """Caches built from sources without class_names() (or predating the
+    field) raise a rebuild hint, not a bare KeyError, when the eval
+    suite asks for names."""
+    import json
+
+    from basd_tpu.data.cache import CachedSource, build_canvas_cache
+    from basd_tpu.data.sources import SyntheticSource
+
+    name = "synthetic/tiny"
+    build_canvas_cache(
+        SyntheticSource(name), name, tmp_path, 40, verbose=False
+    )
+    meta_path = None
+    for p in tmp_path.rglob("meta.json"):
+        meta_path = p
+    meta = json.loads(meta_path.read_text())
+    meta.pop("class_names", None)
+    meta_path.write_text(json.dumps(meta))
+    stale = CachedSource(name, tmp_path)
+    with pytest.raises(KeyError, match="rebuild"):
+        stale.class_names()
+
+
 # ------------------------------------------- HF network branches, offline
 #
 # The three `datasets`-hub code paths (builder metadata, streaming channel
