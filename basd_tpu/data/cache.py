@@ -51,27 +51,16 @@ def _lab_path(root: Path, split: str, out_size: int) -> Path:
 
 
 def _canvas_channel_stats(imgs: np.ndarray, limit: int) -> tuple[list, list]:
-    """Chan/Welford per-channel mean/std in [0,1] over the first ``limit``
-    canvases (reference semantics stream RAW images,
-    ``src/data/datasets.py:46-68``; the shorter-side resize + center crop
-    shifts the statistics by well under the augmentation noise floor)."""
-    mean = np.zeros(3, np.float64)
-    m2 = np.zeros(3, np.float64)
-    count = 0
-    for i in range(min(limit, imgs.shape[0])):
-        flat = np.asarray(imgs[i], np.float64).reshape(-1, 3) / 255.0
-        n = flat.shape[0]
-        bm = flat.mean(axis=0)
-        bv = flat.var(axis=0)
-        delta = bm - mean
-        new_count = count + n
-        mean += delta * n / new_count
-        m2 += bv * n + delta**2 * count * n / new_count
-        count = new_count
-    if count == 0:
-        raise ValueError("cannot compute channel stats from an empty split")
-    std = np.sqrt(m2 / count)
-    return mean.tolist(), std.tolist()
+    """Per-channel mean/std over the first ``limit`` canvases via the
+    shared Welford merge (``sources.welford_channel_stats``; reference
+    semantics stream RAW images, ``src/data/datasets.py:46-68`` — the
+    shorter-side resize + center crop shifts the statistics by well under
+    the augmentation noise floor)."""
+    from basd_tpu.data.sources import welford_channel_stats
+
+    return welford_channel_stats(
+        imgs[i] for i in range(min(limit, imgs.shape[0]))
+    )
 
 
 def build_canvas_cache(

@@ -95,6 +95,30 @@ def dataset_info(dataset_name: str) -> dict:
     }
 
 
+def welford_channel_stats(arrays) -> tuple[list, list]:
+    """Chan/Welford per-channel mean/std in [0,1] over an iterator of
+    (H, W, 3) uint8-like arrays (reference ``src/data/datasets.py:46-68``
+    streaming semantics). Single implementation shared by the streaming
+    path below and the canvas-cache build (``data/cache.py``)."""
+    mean = np.zeros(3, np.float64)
+    m2 = np.zeros(3, np.float64)
+    count = 0
+    for arr in arrays:
+        flat = np.asarray(arr, np.float64).reshape(-1, 3) / 255.0
+        n = flat.shape[0]
+        bm = flat.mean(axis=0)
+        bv = flat.var(axis=0)
+        delta = bm - mean
+        new_count = count + n
+        mean += delta * n / new_count
+        m2 += bv * n + delta**2 * count * n / new_count
+        count = new_count
+    if count == 0:
+        raise ValueError("cannot compute channel stats from an empty iterator")
+    std = np.sqrt(m2 / count)
+    return mean.tolist(), std.tolist()
+
+
 @lru_cache(maxsize=None)
 def get_channel_stats(dataset_name: str) -> tuple[tuple[float, ...], tuple[float, ...]]:
     """Per-channel mean/std in [0,1], streaming Welford merge."""
@@ -112,21 +136,8 @@ def get_channel_stats(dataset_name: str) -> tuple[tuple[float, ...], tuple[float
         key = info["image_key"]
         it = (np.asarray(ex[key].convert("RGB")) for ex in ds)
 
-    mean = np.zeros(3, np.float64)
-    m2 = np.zeros(3, np.float64)
-    count = 0
-    for arr in it:
-        flat = np.asarray(arr, np.float64).reshape(-1, 3) / 255.0
-        n = flat.shape[0]
-        bm = flat.mean(axis=0)
-        bv = flat.var(axis=0)
-        delta = bm - mean
-        new_count = count + n
-        mean += delta * n / new_count
-        m2 += bv * n + delta**2 * count * n / new_count
-        count = new_count
-    std = np.sqrt(m2 / count)
-    return tuple(mean.tolist()), tuple(std.tolist())
+    mean, std = welford_channel_stats(it)
+    return tuple(mean), tuple(std)
 
 
 def subset_indices_from_names(

@@ -216,19 +216,24 @@ def run_eval_suite(
     crop_ratio = config.data.eval_crop_ratio
     primary_source = source_from_config(config)
     primary_num_classes = primary_source.num_classes()
-    primary_names = primary_source.class_names()
+    # class names are only needed to remap robustness subsets into the
+    # primary label space; fetch lazily so primary-only eval works on
+    # sources without class_names() (e.g. minimal-protocol canvas caches)
+    primary_names = None
 
     primary_results: dict = {}
     robustness_results: dict = {}
     for ds_name in datasets_to_eval:
-        source = (
-            primary_source
-            if ds_name == config.data.dataset
-            else source_from_config(config, ds_name)
-        )
-        valid_indices = subset_indices_from_names(
-            source.class_names(), primary_names
-        )
+        if ds_name == config.data.dataset:
+            source = primary_source
+            valid_indices = None
+        else:
+            source = source_from_config(config, ds_name)
+            if primary_names is None:
+                primary_names = primary_source.class_names()
+            valid_indices = subset_indices_from_names(
+                source.class_names(), primary_names
+            )
         num_classes = (
             len(valid_indices) if valid_indices is not None else primary_num_classes
         )

@@ -48,10 +48,16 @@ def vit_state_dict_from_params(params: dict) -> dict:
     pk = _np(params["patch_embed"]["proj"]["kernel"])  # (C*p*p, D)
     d_out = pk.shape[1]
     cpp = pk.shape[0]
-    # in_chans is 3 for every supported preset; refold (c, p1, p2)
-    c = 3 if cpp % 3 == 0 else 1
-    p = int(round((cpp // c) ** 0.5))
-    assert c * p * p == cpp, (cpp, c, p)
+    # refold (c, p1, p2): pick the in_chans whose patch side is a whole
+    # square. Never ambiguous between 3 and 1 — cpp = 3*p² and cpp = q²
+    # together force q² = 3p², impossible in integers — so divisibility
+    # by 3 alone (which misfires on in_chans=1 with 3|p) is not trusted.
+    for c in (3, 1):
+        p = int(round((cpp / c) ** 0.5))
+        if c * p * p == cpp:
+            break
+    else:
+        raise ValueError(f"cannot refold patch kernel of {cpp} rows")
     sd["patch_embed.proj.weight"] = pk.T.reshape(d_out, c, p, p)
     sd["patch_embed.proj.bias"] = _np(params["patch_embed"]["proj"]["bias"])
 

@@ -465,8 +465,11 @@ class Block(nn.Module):
                 self.num_heads,
                 importance_mode=self.importance_mode,
                 dtype=self.dtype,
+                # explicit 'module' means NO Pallas anywhere (A/B
+                # bisect): force einsum, not 'auto' (which re-selects
+                # flash on TPU)
                 attention_impl=(
-                    "auto" if attn_impl == "module" else attn_impl
+                    "einsum" if attn_impl == "module" else attn_impl
                 ),
                 name="attn",
             )(_ln(x, "norm1"))
@@ -484,6 +487,9 @@ class Block(nn.Module):
         # the kernel — plain differentiable jnp ops, so gradients reach
         # both w2 and gamma exactly. ln_barrier experiments keep the
         # module chain.
+        # 'auto_module' = auto dispatch fell back to the module chain
+        # (CPU / f32 / ln_barrier): the inner Mlp keeps ITS auto fused
+        # kernel. An explicit 'module' forces the plain Dense chain.
         mlp_impl = self.mlp_impl
         if mlp_impl == "auto":
             mlp_impl = (
@@ -494,10 +500,10 @@ class Block(nn.Module):
                     and not self.ln_barrier
                     and x.ndim == 3
                 )
-                else "module"
+                else "auto_module"
             )
         elif mlp_impl == "fused_ln" and self.ln_barrier:
-            mlp_impl = "module"
+            mlp_impl = "auto_module"
 
         if mlp_impl == "fused_ln":
             from basd_tpu.ops.pallas.fused_block_mlp import (
@@ -532,7 +538,11 @@ class Block(nn.Module):
         else:
             y = Mlp(
                 int(d * self.mlp_ratio), d, dtype=self.dtype,
-                mlp_impl="auto" if mlp_impl == "module" else mlp_impl,
+                # explicit 'module' means NO Pallas anywhere (A/B bisect);
+                # 'auto_module' lets the inner Mlp keep its fused kernel
+                mlp_impl={"module": "dense", "auto_module": "auto"}.get(
+                    mlp_impl, mlp_impl
+                ),
                 name="mlp",
             )(_ln(x, "norm2"))
             if self.layerscale_init is not None:
