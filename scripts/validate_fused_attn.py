@@ -4,7 +4,7 @@ Runs the DeiT-Small teacher extraction twice — attention_impl='auto'
 (flash) vs 'fused_block' (one LN1+qkv+flash+proj+residual Pallas kernel,
 ops/pallas/fused_block_attn) — on the SAME random weights and inputs,
 and reports per-layer token / importance divergence. Interpret-mode
-parity is already locked by tests/test_pallas_kernels.py; this script
+parity is already locked by tests/test_fused_block_mlp.py; this script
 exists because Mosaic lowering (layouts, precision of in-kernel dots)
 can differ from the interpreter, and the kernel must not be switched
 into the default dispatch until the real-TPU numbers are seen.
