@@ -55,6 +55,22 @@ from basd_tpu.ops.pallas.flash_attention import _pick_block_b
 _F32 = jnp.float32
 
 
+def _wdot(a, w, transpose: bool = False):
+    """``(G, N, K) @ (K, M) -> (G, N, M)`` f32, G-batched.
+
+    Mosaic lowers an UNBATCHED 3D x 2D ``dot_general`` through a
+    ``(G*N, K)`` shape cast, and infer-vector-layout rejects that cast
+    when K is not a lane multiple (student D=192; hardware-measured:
+    ``tpu.reshape (8x197x192) -> (1576x192)`` fails while the teacher's
+    D=384 compiles). Broadcasting the weight over G and batching the dot
+    emits no reshape. ``transpose=True`` contracts against ``w.T``.
+    """
+    g = a.shape[0]
+    wb = jnp.broadcast_to(w[None], (g,) + w.shape)
+    dims = (((2,), (2 if transpose else 1,)), ((0,), (0,)))
+    return jax.lax.dot_general(a, wb, dims, preferred_element_type=_F32)
+
+
 def _fwd_kernel(
     x_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     o_ref, imp_ref, *, eps: float, d: int, h: int, e: int, scale: float,
@@ -172,10 +188,7 @@ def _fwd_train_kernel(
     xn = (xc * jax.lax.rsqrt(var + eps)) * s_ref[...] + bl_ref[...]
     xnb = xn.astype(x.dtype)
 
-    qkv = jax.lax.dot_general(
-        xnb, wqkv_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    ) + bqkv_ref[...]
+    qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
     qkvb = qkv.astype(x.dtype)  # (G, N, 3D), rounded where Dense returns
 
     heads = []
@@ -198,10 +211,7 @@ def _fwd_train_kernel(
         lse_ref[:, i, :] = m[..., 0] + jnp.log(l[..., 0])
     attn = jnp.concatenate(heads, axis=-1)  # (G, N, D) bf16
 
-    y = jax.lax.dot_general(
-        attn, wp_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    ) + bp_ref[...]
+    y = _wdot(attn, wp_ref[...]) + bp_ref[...]
     yb = y.astype(x.dtype).astype(_F32)  # round where proj Dense returns
     o_ref[...] = (xf + yb * m_ref[...]).astype(o_ref.dtype)
 
@@ -225,10 +235,7 @@ def _bwd_train_kernel(
     xnb = xn.astype(x.dtype)
 
     # recompute the qkv slab exactly as the forward rounded it
-    qkv = jax.lax.dot_general(
-        xnb, wqkv_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    ) + bqkv_ref[...]
+    qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
     qkvb = qkv.astype(x.dtype)
 
     do = do_ref[...]
@@ -237,10 +244,7 @@ def _bwd_train_kernel(
     dyb = dy.astype(x.dtype)
 
     # dattn = dy @ wp^T (gradient entering the concatenated head outputs)
-    dattn = jax.lax.dot_general(
-        dyb, wp_ref[...], (((2,), (1,)), ((), ())),
-        preferred_element_type=_F32,
-    )  # (G, N, D) f32
+    dattn = _wdot(dyb, wp_ref[...], transpose=True)  # (G, N, D) f32
     dattnb = dattn.astype(x.dtype)
 
     heads = []
@@ -309,10 +313,7 @@ def _bwd_train_kernel(
     )  # (D, 3D)
     dbqkv = jnp.sum(jnp.sum(dqkv, axis=1), axis=0, keepdims=True)  # (1, 3D)
 
-    dxn = jax.lax.dot_general(
-        dqkvb, wqkv_ref[...], (((2,), (1,)), ((), ())),
-        preferred_element_type=_F32,
-    )  # (G, N, D) f32
+    dxn = _wdot(dqkvb, wqkv_ref[...], transpose=True)  # (G, N, D) f32
 
     ds = jnp.sum(jnp.sum(dxn * xhat, axis=1), axis=0, keepdims=True)
     dbl = jnp.sum(jnp.sum(dxn, axis=1), axis=0, keepdims=True)
