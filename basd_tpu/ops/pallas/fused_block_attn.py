@@ -73,7 +73,8 @@ def _wdot(a, w, transpose: bool = False):
 
 def _fwd_kernel(
     x_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-    o_ref, imp_ref, *, eps: float, d: int, h: int, e: int, scale: float,
+    o_ref, imp_ref, qkv_scr, attn_scr,
+    *, eps: float, d: int, h: int, e: int, scale: float,
 ):
     x = x_ref[...]  # (G, N, D)
     xf = x.astype(_F32)
@@ -84,18 +85,19 @@ def _fwd_kernel(
     xn = (xc * jax.lax.rsqrt(var + eps)) * s_ref[...] + bl_ref[...]
     xnb = xn.astype(x.dtype)
 
-    qkv = jax.lax.dot_general(
-        xnb, wqkv_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    ) + bqkv_ref[...]
-    qkvb = qkv.astype(x.dtype)  # (G, N, 3D), rounded where Dense returns
+    qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
+    # Stage the rounded slab through a VMEM scratch ref: per-head lane
+    # slices must be REF loads, not vector.extract_slice — Mosaic's
+    # apply-vector-layout crashes (Array::Slice limits 25 vs 1, v5e,
+    # hardware round 4) extracting sub-128-lane slices from a register
+    # value, while the identical ref slicing in flash_attention compiles.
+    qkv_scr[...] = qkv.astype(x.dtype)  # rounded where Dense returns
 
-    heads = []
     imp_acc = None
     for i in range(h):
-        q = qkvb[:, :, i * e:(i + 1) * e]
-        k = qkvb[:, :, d + i * e:d + (i + 1) * e]
-        v = qkvb[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
+        q = qkv_scr[:, :, i * e:(i + 1) * e]
+        k = qkv_scr[:, :, d + i * e:d + (i + 1) * e]
+        v = qkv_scr[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=_F32,
@@ -107,15 +109,12 @@ def _fwd_kernel(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=_F32,
         ) / l
-        heads.append(o.astype(x.dtype))
+        attn_scr[:, :, i * e:(i + 1) * e] = o.astype(x.dtype)
         row0 = p[:, 0, :] / (l[:, 0] * h)  # (G, N): pre-divided head mean
         imp_acc = row0 if imp_acc is None else imp_acc + row0
-    attn = jnp.concatenate(heads, axis=-1)  # (G, N, D) bf16
+    attn = attn_scr[...]  # (G, N, D) bf16
 
-    y = jax.lax.dot_general(
-        attn, wp_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    ) + bp_ref[...]
+    y = _wdot(attn, wp_ref[...]) + bp_ref[...]
     yb = y.astype(x.dtype).astype(_F32)  # round where proj Dense returns
     o_ref[...] = (xf + yb).astype(o_ref.dtype)
     imp_ref[...] = imp_acc
@@ -160,6 +159,10 @@ def fused_block_attn(
             jax.ShapeDtypeStruct((b, n, d), x.dtype),
             jax.ShapeDtypeStruct((b, n), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((g, n, 3 * d), x.dtype),  # qkv slab
+            pltpu.VMEM((g, n, d), x.dtype),      # head outputs
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel",),
@@ -177,7 +180,8 @@ def fused_block_attn(
 
 def _fwd_train_kernel(
     x_ref, m_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-    o_ref, lse_ref, *, eps: float, d: int, h: int, e: int, scale: float,
+    o_ref, lse_ref, qkv_scr, attn_scr,
+    *, eps: float, d: int, h: int, e: int, scale: float,
 ):
     x = x_ref[...]  # (G, N, D)
     xf = x.astype(_F32)
@@ -189,13 +193,13 @@ def _fwd_train_kernel(
     xnb = xn.astype(x.dtype)
 
     qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
-    qkvb = qkv.astype(x.dtype)  # (G, N, 3D), rounded where Dense returns
+    # per-head lane slices must be ref loads — see _fwd_kernel
+    qkv_scr[...] = qkv.astype(x.dtype)  # rounded where Dense returns
 
-    heads = []
     for i in range(h):
-        q = qkvb[:, :, i * e:(i + 1) * e]
-        k = qkvb[:, :, d + i * e:d + (i + 1) * e]
-        v = qkvb[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
+        q = qkv_scr[:, :, i * e:(i + 1) * e]
+        k = qkv_scr[:, :, d + i * e:d + (i + 1) * e]
+        v = qkv_scr[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=_F32,
@@ -207,9 +211,9 @@ def _fwd_train_kernel(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=_F32,
         ) / l
-        heads.append(o.astype(x.dtype))
+        attn_scr[:, :, i * e:(i + 1) * e] = o.astype(x.dtype)
         lse_ref[:, i, :] = m[..., 0] + jnp.log(l[..., 0])
-    attn = jnp.concatenate(heads, axis=-1)  # (G, N, D) bf16
+    attn = attn_scr[...]  # (G, N, D) bf16
 
     y = _wdot(attn, wp_ref[...]) + bp_ref[...]
     yb = y.astype(x.dtype).astype(_F32)  # round where proj Dense returns
@@ -220,6 +224,7 @@ def _bwd_train_kernel(
     x_ref, m_ref, do_ref, lse_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref,
     wp_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref, ds_ref, dbl_ref,
+    qkv_scr, attn_scr, dattn_scr, dqkv_scr,
     *, eps: float, d: int, h: int, e: int, scale: float,
 ):
     x = x_ref[...]
@@ -234,25 +239,25 @@ def _bwd_train_kernel(
     xn = xhat * s_ln + bl_ref[...]
     xnb = xn.astype(x.dtype)
 
-    # recompute the qkv slab exactly as the forward rounded it
+    # recompute the qkv slab exactly as the forward rounded it; staged
+    # through the scratch ref so head slices are ref loads (_fwd_kernel)
     qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
-    qkvb = qkv.astype(x.dtype)
+    qkv_scr[...] = qkv.astype(x.dtype)
 
     do = do_ref[...]
     dof = do.astype(_F32)
     dy = dof * m_ref[...]  # gradient at the proj output (post-mask)
     dyb = dy.astype(x.dtype)
 
-    # dattn = dy @ wp^T (gradient entering the concatenated head outputs)
-    dattn = _wdot(dyb, wp_ref[...], transpose=True)  # (G, N, D) f32
-    dattnb = dattn.astype(x.dtype)
+    # dattn = dy @ wp^T (gradient entering the concatenated head outputs),
+    # staged f32 so per-head slices are ref loads; rounding each slice to
+    # bf16 after slicing equals rounding the full slab before (elementwise)
+    dattn_scr[...] = _wdot(dyb, wp_ref[...], transpose=True)  # (G, N, D)
 
-    heads = []
-    dqs, dks, dvs = [], [], []
     for i in range(h):
-        q = qkvb[:, :, i * e:(i + 1) * e]
-        k = qkvb[:, :, d + i * e:d + (i + 1) * e]
-        v = qkvb[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
+        q = qkv_scr[:, :, i * e:(i + 1) * e]
+        k = qkv_scr[:, :, d + i * e:d + (i + 1) * e]
+        v = qkv_scr[:, :, 2 * d + i * e:2 * d + (i + 1) * e]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=_F32,
@@ -264,9 +269,9 @@ def _bwd_train_kernel(
             pb, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=_F32,
         )  # (G, N, E) f32
-        heads.append(o_i.astype(x.dtype))
-        da_f = dattn[:, :, i * e:(i + 1) * e]
-        da_b = dattnb[:, :, i * e:(i + 1) * e]
+        attn_scr[:, :, i * e:(i + 1) * e] = o_i.astype(x.dtype)
+        da_f = dattn_scr[:, :, i * e:(i + 1) * e]
+        da_b = da_f.astype(x.dtype)
         delta = jnp.sum(da_f * o_i, axis=-1)  # (G, N)
         dv = jax.lax.dot_general(
             pb, da_b, (((1,), (1,)), ((0,), (0,))),
@@ -285,11 +290,11 @@ def _bwd_train_kernel(
             dsc, q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=_F32,
         )
-        dqs.append(dq)
-        dks.append(dk)
-        dvs.append(dv)
-    attn = jnp.concatenate(heads, axis=-1)  # (G, N, D) bf16
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (G, N, 3D) f32
+        dqkv_scr[:, :, i * e:(i + 1) * e] = dq
+        dqkv_scr[:, :, d + i * e:d + (i + 1) * e] = dk
+        dqkv_scr[:, :, 2 * d + i * e:2 * d + (i + 1) * e] = dv
+    attn = attn_scr[...]  # (G, N, D) bf16
+    dqkv = dqkv_scr[...]  # (G, N, 3D) f32
     dqkvb = dqkv.astype(x.dtype)
 
     # proj grads: dwp = attn^T dy (per-tile, then accumulated over the
@@ -378,6 +383,10 @@ def _fwd_train(x, mask, ln_s, ln_b, wqkv, bqkv, wp, bp, num_heads, eps,
             jax.ShapeDtypeStruct((b, n, d), x.dtype),
             jax.ShapeDtypeStruct((b, num_heads, n), _F32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((g, n, 3 * d), x.dtype),  # qkv slab
+            pltpu.VMEM((g, n, d), x.dtype),      # head outputs
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel",),
@@ -425,6 +434,12 @@ def _bwd_train(x, mask, do, lse, ln_s, ln_b, wqkv, bqkv, wp, num_heads,
             jax.ShapeDtypeStruct((1, d), _F32),
             jax.ShapeDtypeStruct((1, d), _F32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((g, n, 3 * d), x.dtype),  # recomputed qkv slab
+            pltpu.VMEM((g, n, d), x.dtype),      # recomputed head outputs
+            pltpu.VMEM((g, n, d), _F32),         # dattn (pre-head-split)
+            pltpu.VMEM((g, n, 3 * d), _F32),     # dqkv accumulator
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             # weight/LN gradient blocks are revisited every program

@@ -44,18 +44,31 @@ def main():
         jnp.bfloat16,
     )
 
-    def variant(attention_impl, dtype):
+    def variant(attention_impl, dtype, precision=None):
         mod = bundle.module.clone(attention_impl=attention_impl, dtype=dtype)
         bb = type(bundle)(bundle.name, mod, bundle.cfg, bundle.info,
                           bundle.mean, bundle.std)
-        t, imp = jax.jit(lambda v, xx: teacher_extract(bb, v, xx))(
-            variables, x.astype(dtype)
-        )
+        if precision is not None:
+            # The oracle must not itself run at TPU default matmul
+            # precision (single-pass bf16) or it carries the very error
+            # class this script exists to detect.
+            with jax.default_matmul_precision(precision):
+                t, imp = jax.jit(lambda v, xx: teacher_extract(bb, v, xx))(
+                    variables, x.astype(dtype)
+                )
+        else:
+            t, imp = jax.jit(lambda v, xx: teacher_extract(bb, v, xx))(
+                variables, x.astype(dtype)
+            )
         return np.asarray(t, np.float32), np.asarray(imp, np.float32)
 
-    t32, _ = variant("einsum", jnp.float32)     # f32 truth
+    t32, _ = variant("einsum", jnp.float32, precision="highest")  # f32 truth
     tfl, _ = variant("auto", jnp.bfloat16)      # flash bf16 (current default)
     tfu, _ = variant("fused_block", jnp.bfloat16)
+    for name, arr in (("f32", t32), ("flash", tfl), ("fused", tfu)):
+        if not np.isfinite(arr).all():
+            print(f"NON-FINITE values in the {name} path — FAIL")
+            sys.exit(1)
 
     worst_ratio = 0.0
     for layer in range(t32.shape[0]):

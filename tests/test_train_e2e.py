@@ -114,10 +114,11 @@ def test_loss_decreases_over_epochs(tmp_path):
         tmp_path, mesh, **{"data.limit_train_batches": 8}
     )
     source = SyntheticSource("synthetic/tiny")
-    first = trainer.train_epoch(source, epoch=0)["train_loss"]
-    losses = [first]
-    for e in range(1, 4):
-        losses.append(trainer.train_epoch(source, epoch=0)["train_loss"])
+    # epoch must advance so each epoch sees a DIFFERENT shuffle order —
+    # feeding epoch=0 repeatedly would only test refitting one batch order
+    losses = [
+        trainer.train_epoch(source, epoch=e)["train_loss"] for e in range(4)
+    ]
     assert losses[-1] < losses[0], losses
 
 
