@@ -348,14 +348,17 @@ def make_source(
     num_workers: int = 8,
     cache_dir: str | None = None,
 ):
-    if is_synthetic(name) or source_kind == "synthetic":
-        return SyntheticSource(name)
+    # explicit source=cached wins over the synthetic-name shortcut so a
+    # cache built FROM a synthetic source (tests; fully network-free eval)
+    # streams through the real CachedSource path
     if source_kind == "cached":
         from basd_tpu.data.cache import CachedSource
 
         if cache_dir is None:
             raise ValueError("data.source=cached requires data.cache_dir")
         return CachedSource(name, cache_dir)
+    if is_synthetic(name) or source_kind == "synthetic":
+        return SyntheticSource(name)
     return HFSource(name, num_workers=num_workers)
 
 
@@ -375,7 +378,7 @@ def stats_from_config(config) -> tuple[tuple, tuple]:
     cache's meta.json (recorded at build time), so training needs no
     network access at all."""
     name = config.data.dataset
-    if config.data.get("source", "hf") == "cached" and not is_synthetic(name):
+    if config.data.get("source", "hf") == "cached":
         from basd_tpu.data.cache import CachedSource
 
         cache_dir = config.data.get("cache_dir")

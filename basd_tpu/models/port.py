@@ -27,11 +27,108 @@ def _load_state_dict(path: str) -> dict:
     return {k: v.numpy() for k, v in obj.items()}
 
 
-def interpolate_pos_embed(pos: np.ndarray, target_tokens: int) -> np.ndarray:
+def derive_arch_from_state_dict(sd: dict, declared: dict | None = None) -> dict:
+    """Architecture facts from a torch state dict's tensor shapes.
+
+    The reference's ``probe_model`` reflects over a *live* torch module
+    (``src/models/teacher.py:42-110``: embed_dim attr, block container,
+    heads, fc1 width, cls token). In a zero-egress environment the
+    artifact that actually exists is the checkpoint, so the same facts
+    are derived from its shapes instead — letting an UNLISTED teacher
+    checkpoint load without hand-declared ``basd.teacher_arch``:
+
+    - ViT (timm/dinov2 layout): embed_dim + patch_size from
+      ``patch_embed.proj.weight`` (D, C, p, p); depth = #blocks;
+      mlp_ratio = fc1_out / D; LayerScale from ``ls1.gamma``/``gamma_1``
+      keys; cls token from key presence. ``num_heads`` is the one fact a
+      fused qkv's shapes cannot encode — the ubiquitous head_dim=64
+      convention is used when it divides D (every timm/deit/dinov2 ViT),
+      otherwise declare ``basd.teacher_arch.num_heads``.
+    - ConvNeXtV2: depths from per-stage block counts, dims from each
+      stage's depthwise-conv channel count.
+    - ResNet (bottleneck): stage_sizes from ``layer{i}.{b}`` counts,
+      width from the stem conv's output channels.
+
+    ``declared`` entries (the user's explicit ``basd.teacher_arch``)
+    always win over derived values.
+    """
+    declared = dict(declared or {})
+
+    def block_count(prefix: str) -> int:
+        import re
+
+        idx = [
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(rf"{prefix}\.(\d+)\.", k))
+        ]
+        return max(idx) + 1 if idx else 0
+
+    if "patch_embed.proj.weight" in sd and "blocks.0.norm1.weight" in sd:
+        d, _c, p, _ = sd["patch_embed.proj.weight"].shape
+        d = int(d)
+        arch: dict = {
+            "kind": "vit",
+            "embed_dim": d,
+            "depth": block_count("blocks"),
+            "patch_size": int(p),
+            "mlp_ratio": float(sd["blocks.0.mlp.fc1.weight"].shape[0]) / d,
+            "use_cls_token": "cls_token" in sd,
+        }
+        if "blocks.0.ls1.gamma" in sd or "blocks.0.gamma_1" in sd:
+            # init value is irrelevant — the port overwrites the gammas;
+            # non-None simply materializes the LayerScale params.
+            arch["layerscale_init"] = 1e-5
+        if "num_heads" not in declared:
+            for head_dim in (64, 48, 32, 96, 128):
+                if d % head_dim == 0:
+                    arch["num_heads"] = d // head_dim
+                    break
+            else:
+                raise ValueError(
+                    f"cannot infer num_heads for embed_dim={d}; declare "
+                    "basd.teacher_arch.num_heads"
+                )
+    elif "stem.0.weight" in sd and "stages.0.blocks.0.conv_dw.weight" in sd:
+        n_stages = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("stages.")
+        )
+        depths = tuple(
+            block_count(f"stages.{si}.blocks") for si in range(n_stages)
+        )
+        dims = tuple(
+            int(sd[f"stages.{si}.blocks.0.conv_dw.weight"].shape[0])
+            for si in range(n_stages)
+        )
+        arch = {"kind": "convnext", "depths": depths, "dims": dims}
+    elif "conv1.weight" in sd and "layer1.0.conv1.weight" in sd:
+        sizes = []
+        si = 1
+        while f"layer{si}.0.conv1.weight" in sd:
+            sizes.append(block_count(f"layer{si}"))
+            si += 1
+        arch = {
+            "kind": "resnet",
+            "stage_sizes": tuple(sizes),
+            "width": int(sd["conv1.weight"].shape[0]),
+        }
+    else:
+        raise ValueError(
+            "unrecognized state-dict layout: expected timm/dinov2 ViT "
+            "(patch_embed.proj + blocks.*), ConvNeXtV2 (stem + stages.*), "
+            "or ResNet (conv1 + layer*) keys"
+        )
+    arch.update(declared)
+    return arch
+
+
+def interpolate_pos_embed(
+    pos: np.ndarray, target_tokens: int, has_cls: bool = True
+) -> np.ndarray:
     """Bicubic-free bilinear resize of the patch position grid (CLS slot
-    preserved), for porting checkpoints trained at a different image size
-    (e.g. dinov2's 518px grid onto a 224px model)."""
-    n_src = pos.shape[1] - 1
+    preserved when present), for porting checkpoints trained at a
+    different image size (e.g. dinov2's 518px grid onto a 224px model)."""
+    n_src = pos.shape[1] - (1 if has_cls else 0)
     if n_src == target_tokens:
         return pos
     import jax
@@ -39,7 +136,10 @@ def interpolate_pos_embed(pos: np.ndarray, target_tokens: int) -> np.ndarray:
 
     side_src = int(round(n_src**0.5))
     side_dst = int(round(target_tokens**0.5))
-    cls_slot, grid = pos[:, :1], pos[:, 1:]
+    if has_cls:
+        cls_slot, grid = pos[:, :1], pos[:, 1:]
+    else:
+        cls_slot, grid = pos[:, :0], pos
     grid = grid.reshape(1, side_src, side_src, -1)
     resized = jax.image.resize(
         jnp.asarray(grid), (1, side_dst, side_dst, grid.shape[-1]), "linear"
@@ -98,11 +198,11 @@ def vit_params_from_torch(
         blocks["ls2"] = {"gamma": stack(ls2_key)}
 
     conv = _t(sd["patch_embed.proj.weight"])  # (D, C, p, p)
+    has_cls = "cls_token" in sd
     pos = _t(sd["pos_embed"])
     if target_tokens is not None:
-        pos = interpolate_pos_embed(pos, target_tokens)
+        pos = interpolate_pos_embed(pos, target_tokens, has_cls=has_cls)
     params = {
-        "cls_token": _t(sd["cls_token"]),
         "pos_embed": pos,
         "patch_embed": {
             "proj": {
@@ -114,6 +214,8 @@ def vit_params_from_torch(
         "blocks": blocks,
         "norm": {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])},
     }
+    if has_cls:
+        params["cls_token"] = _t(sd["cls_token"])
     if "head.weight" in sd:
         params["head"] = {
             "kernel": _t(sd["head.weight"]).T,
@@ -226,11 +328,16 @@ def resnet_params_from_torch(
     return params, stats
 
 
-def port_torch_checkpoint(path: str, bundle, variables: dict) -> dict:
-    """Load a torch checkpoint into ``variables`` for the given bundle."""
+def port_torch_checkpoint(
+    path: str, bundle, variables: dict, sd: dict | None = None
+) -> dict:
+    """Load a torch checkpoint into ``variables`` for the given bundle.
+    ``sd`` short-circuits the file read when the caller already loaded the
+    state dict (e.g. for arch derivation)."""
     import jax
 
-    sd = _load_state_dict(path)
+    if sd is None:
+        sd = _load_state_dict(path)
     kind = type(bundle.module).__name__
     if kind == "VisionTransformer":
         params = vit_params_from_torch(

@@ -317,9 +317,29 @@ def load_teacher(
     initialized (no hub access in zero-egress environments).
     ``arch_overrides`` declares an unlisted teacher by explicit arch
     kwargs (``basd.teacher_arch`` in config): ViT facts, or
-    kind='convnext'/'resnet' stage kwargs for a custom CNN.
+    kind='convnext'/'resnet' stage kwargs for a custom CNN. When an
+    unlisted teacher comes WITH a checkpoint, its architecture is derived
+    from the state dict's shapes (``port.derive_arch_from_state_dict`` —
+    the reference's ``probe_model`` reflection, ``teacher.py:42-110``,
+    recast over the artifact a zero-egress environment actually has);
+    explicit ``arch_overrides`` entries win over derived facts.
     """
     ov = dict(arch_overrides or {})
+    sd = None
+    unlisted = model_name not in _VIT_PRESETS and model_name not in _CNN_PRESETS
+    if checkpoint_path and unlisted:
+        from basd_tpu.models.port import (
+            _load_state_dict,
+            derive_arch_from_state_dict,
+        )
+
+        sd = _load_state_dict(checkpoint_path)
+        ov = derive_arch_from_state_dict(sd, declared=ov)
+        arch_overrides = ov
+        print(
+            f"teacher_arch_derived model={model_name} "
+            + " ".join(f"{k}={v}" for k, v in sorted(ov.items()))
+        )
     is_vit = model_name in _VIT_PRESETS or (
         model_name not in _CNN_PRESETS and ov.get("kind", "vit") == "vit"
     )
@@ -340,7 +360,9 @@ def load_teacher(
     if checkpoint_path:
         from basd_tpu.models.port import port_torch_checkpoint
 
-        variables = port_torch_checkpoint(checkpoint_path, bundle, variables)
+        variables = port_torch_checkpoint(
+            checkpoint_path, bundle, variables, sd=sd
+        )
     print(
         f"teacher_loaded model={model_name} embed_dim={bundle.info['embed_dim']} "
         f"depth={bundle.info['depth']} heads_per_layer={bundle.info['heads_per_layer']} "

@@ -39,7 +39,10 @@ import os
 
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 512))
 WARMUP_STEPS = 5
-TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 30))
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 12))
+# median-of-N timed windows: single-window numbers drifted ~3% between
+# runs (VERDICT r3 weak #2); the median is the recorded figure.
+TIMED_WINDOWS = int(os.environ.get("BENCH_WINDOWS", 3))
 IMG = 224
 _REMAT = os.environ.get("BENCH_REMAT", "full")  # full | dots | none
 # block-kernel dispatch A/B knobs (see models/layers.py Block.__call__):

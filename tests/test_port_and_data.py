@@ -72,6 +72,61 @@ def test_load_teacher_from_torch_checkpoint(tmp_path):
     )  # cls-row importance sums to ~1 (cls key stripped)
 
 
+def test_load_unlisted_teacher_derives_arch(tmp_path):
+    """An UNLISTED teacher checkpoint with nonstandard geometry loads
+    end-to-end with no hand-declared ``basd.teacher_arch`` — the arch
+    facts come from the state dict's shapes (VERDICT r3 #6; restores the
+    reference's ``probe_model`` capability, ``src/models/teacher.py:42-110``,
+    over the artifact a zero-egress environment actually has)."""
+    d, depth, mlp = 128, 3, 3.0  # no preset has this geometry
+    sd = _tiny_vit_state_dict(d=d, depth=depth, n_tokens=16, mlp=mlp)
+    path = tmp_path / "custom_teacher.pth"
+    torch.save(sd, path)
+
+    bundle, variables = load_teacher(
+        "my_custom_vit", 64, checkpoint_path=str(path), dtype=jnp.float32
+    )
+    info = bundle.info
+    assert info["embed_dim"] == d
+    assert info["depth"] == depth
+    assert info["mlp_ratio"] == mlp
+    assert info["heads_per_layer"] == [2] * depth  # head_dim=64 heuristic
+    assert info["has_cls_token"] is True
+
+    x = jnp.asarray(RNG.standard_normal((2, 64, 64, 3)), jnp.float32)
+    tokens, imp = teacher_extract(bundle, variables, x)
+    assert tokens.shape == (depth, 2, 16, d)
+    assert np.isfinite(np.asarray(tokens)).all()
+    # ported weights actually took: qkv kernel matches the state dict
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["blocks"]["attn"]["qkv"]["kernel"][0]),
+        sd["blocks.0.attn.qkv.weight"].numpy().T,
+        rtol=1e-6,
+    )
+
+
+def test_derive_arch_from_state_dict_variants():
+    """Shape-derivation unit cases: declared overrides win; CNN layouts;
+    unrecognized layout is an actionable error."""
+    from basd_tpu.models.port import derive_arch_from_state_dict
+
+    sd = {k: v.numpy() for k, v in _tiny_vit_state_dict(
+        d=96, depth=2, n_tokens=16, mlp=4.0).items()}
+    arch = derive_arch_from_state_dict(sd)
+    assert arch["embed_dim"] == 96 and arch["depth"] == 2
+    assert arch["patch_size"] == 16
+    assert arch["num_heads"] == 2  # head_dim 48 (first of 64,48,... dividing 96)
+    assert "layerscale_init" not in arch
+    # layerscale detection (dinov2 naming)
+    sd["blocks.0.ls1.gamma"] = np.ones(96, np.float32)
+    assert "layerscale_init" in derive_arch_from_state_dict(sd)
+    # declared facts win
+    arch2 = derive_arch_from_state_dict(sd, declared={"num_heads": 6})
+    assert arch2["num_heads"] == 6
+    with pytest.raises(ValueError, match="unrecognized"):
+        derive_arch_from_state_dict({"foo.weight": np.ones(3)})
+
+
 def test_interpolate_pos_embed_identity_and_resize():
     pos = RNG.standard_normal((1, 17, 8)).astype(np.float32)
     same = interpolate_pos_embed(pos, 16)
@@ -333,15 +388,18 @@ def test_canvas_cache_out_size_mismatch_raises(tmp_path):
 
 def test_cached_source_from_config(tmp_path):
     """data.source=cached wires through make_source/stats_from_config."""
-    from basd_tpu.data.cache import build_canvas_cache
+    from basd_tpu.data.cache import CachedSource, build_canvas_cache
     from basd_tpu.data.sources import SyntheticSource, make_source
 
     name = "synthetic/tiny"
     build_canvas_cache(
         SyntheticSource(name), name, tmp_path, 40, verbose=False
     )
-    # synthetic names keep their generator source even in cached mode...
-    assert isinstance(make_source(name, "cached"), SyntheticSource)
+    # explicit cached mode streams the built cache even for synthetic
+    # names (so fully network-free eval is testable end-to-end)...
+    assert isinstance(
+        make_source(name, "cached", cache_dir=tmp_path), CachedSource
+    )
     # ...and cached mode without a cache_dir is an actionable error
     with pytest.raises(ValueError, match="cache_dir"):
         make_source("some/hf_dataset", "cached")
