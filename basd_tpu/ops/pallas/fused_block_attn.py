@@ -73,7 +73,7 @@ def _wdot(a, w, transpose: bool = False):
 
 def _fwd_kernel(
     x_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-    o_ref, imp_ref, qkv_scr, attn_scr,
+    o_ref, imp_ref, qkv_scr, attn_scr, f32_scr,
     *, eps: float, d: int, h: int, e: int, scale: float,
 ):
     x = x_ref[...]  # (G, N, D)
@@ -85,13 +85,16 @@ def _fwd_kernel(
     xn = (xc * jax.lax.rsqrt(var + eps)) * s_ref[...] + bl_ref[...]
     xnb = xn.astype(x.dtype)
 
-    qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
-    # Stage the rounded slab through a VMEM scratch ref: per-head lane
-    # slices must be REF loads, not vector.extract_slice — Mosaic's
-    # apply-vector-layout crashes (Array::Slice limits 25 vs 1, v5e,
-    # hardware round 4) extracting sub-128-lane slices from a register
-    # value, while the identical ref slicing in flash_attention compiles.
-    qkv_scr[...] = qkv.astype(x.dtype)  # rounded where Dense returns
+    # Two Mosaic crash patterns shape this (both hardware-bisected, v5e,
+    # round 4, `Array::Slice limits 25 vs 1` aborts in apply-vector-layout):
+    # (a) adding a (1, M) bias to a 3D dot_general RESULT VALUE crashes,
+    #     while the identical add onto a scratch RELOAD compiles — so the
+    #     f32 accumulator is staged through ``f32_scr`` and the bias rides
+    #     the reload (numerics unchanged: no rounding at the staging);
+    # (b) per-head lane slices must be REF loads, not vector.extract_slice
+    #     — hence the rounded bf16 slab lives in ``qkv_scr``.
+    f32_scr[...] = _wdot(xnb, wqkv_ref[...])
+    qkv_scr[...] = (f32_scr[...] + bqkv_ref[...]).astype(x.dtype)
 
     imp_acc = None
     for i in range(h):
@@ -114,7 +117,9 @@ def _fwd_kernel(
         imp_acc = row0 if imp_acc is None else imp_acc + row0
     attn = attn_scr[...]  # (G, N, D) bf16
 
-    y = _wdot(attn, wp_ref[...]) + bp_ref[...]
+    # proj accumulator staged for the bias add, same as qkv (pattern (a))
+    f32_scr[:, :, :d] = _wdot(attn, wp_ref[...])
+    y = f32_scr[:, :, :d] + bp_ref[...]
     yb = y.astype(x.dtype).astype(_F32)  # round where proj Dense returns
     o_ref[...] = (xf + yb).astype(o_ref.dtype)
     imp_ref[...] = imp_acc
@@ -162,6 +167,7 @@ def fused_block_attn(
         scratch_shapes=[
             pltpu.VMEM((g, n, 3 * d), x.dtype),  # qkv slab
             pltpu.VMEM((g, n, d), x.dtype),      # head outputs
+            pltpu.VMEM((g, n, 3 * d), _F32),     # f32 dot staging (qkv/proj)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -180,7 +186,7 @@ def fused_block_attn(
 
 def _fwd_train_kernel(
     x_ref, m_ref, s_ref, bl_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-    o_ref, lse_ref, qkv_scr, attn_scr,
+    o_ref, lse_ref, qkv_scr, attn_scr, f32_scr,
     *, eps: float, d: int, h: int, e: int, scale: float,
 ):
     x = x_ref[...]  # (G, N, D)
@@ -192,9 +198,10 @@ def _fwd_train_kernel(
     xn = (xc * jax.lax.rsqrt(var + eps)) * s_ref[...] + bl_ref[...]
     xnb = xn.astype(x.dtype)
 
-    qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
-    # per-head lane slices must be ref loads — see _fwd_kernel
-    qkv_scr[...] = qkv.astype(x.dtype)  # rounded where Dense returns
+    # bias adds ride scratch reloads, head slices are ref loads — the two
+    # Mosaic crash patterns documented in _fwd_kernel
+    f32_scr[...] = _wdot(xnb, wqkv_ref[...])
+    qkv_scr[...] = (f32_scr[...] + bqkv_ref[...]).astype(x.dtype)
 
     for i in range(h):
         q = qkv_scr[:, :, i * e:(i + 1) * e]
@@ -215,7 +222,8 @@ def _fwd_train_kernel(
         lse_ref[:, i, :] = m[..., 0] + jnp.log(l[..., 0])
     attn = attn_scr[...]  # (G, N, D) bf16
 
-    y = _wdot(attn, wp_ref[...]) + bp_ref[...]
+    f32_scr[:, :, :d] = _wdot(attn, wp_ref[...])
+    y = f32_scr[:, :, :d] + bp_ref[...]
     yb = y.astype(x.dtype).astype(_F32)  # round where proj Dense returns
     o_ref[...] = (xf + yb * m_ref[...]).astype(o_ref.dtype)
 
@@ -239,10 +247,13 @@ def _bwd_train_kernel(
     xn = xhat * s_ln + bl_ref[...]
     xnb = xn.astype(x.dtype)
 
-    # recompute the qkv slab exactly as the forward rounded it; staged
-    # through the scratch ref so head slices are ref loads (_fwd_kernel)
-    qkv = _wdot(xnb, wqkv_ref[...]) + bqkv_ref[...]
-    qkv_scr[...] = qkv.astype(x.dtype)
+    # recompute the qkv slab exactly as the forward rounded it. The f32
+    # accumulator stages through dqkv_scr (free: every lane of dqkv_scr
+    # is overwritten by the head loop below) so the bias add happens on a
+    # scratch reload, and head slices are ref loads — the two Mosaic
+    # crash patterns documented in _fwd_kernel.
+    dqkv_scr[...] = _wdot(xnb, wqkv_ref[...])
+    qkv_scr[...] = (dqkv_scr[...] + bqkv_ref[...]).astype(x.dtype)
 
     do = do_ref[...]
     dof = do.astype(_F32)
@@ -386,6 +397,7 @@ def _fwd_train(x, mask, ln_s, ln_b, wqkv, bqkv, wp, bp, num_heads, eps,
         scratch_shapes=[
             pltpu.VMEM((g, n, 3 * d), x.dtype),  # qkv slab
             pltpu.VMEM((g, n, d), x.dtype),      # head outputs
+            pltpu.VMEM((g, n, 3 * d), _F32),     # f32 dot staging (qkv/proj)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
