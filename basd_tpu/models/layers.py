@@ -397,10 +397,14 @@ class Block(nn.Module):
             and (self.deterministic or self.drop_path_max == 0.0)
             and x.ndim == 3
         )
-        # NOTE: auto-dispatch to 'fused_block' is intentionally OFF until
-        # the kernel is Mosaic-validated on real hardware (the remote
-        # compile service was down when it landed); opt in explicitly
-        # with attention_impl='fused_block'.
+        # auto-dispatch: hardware-validated round 4 (v5e) — numerics as
+        # close to f32 truth as the flash path at every layer (ratio
+        # <=1.02, scripts/validate_fused_attn_f32.py) and faster
+        # (teacher fwd 45.4 vs 50.3 ms at B=512, scripts/bench_parts.py)
+        if attn_impl == "auto" and fusable and (
+            jax.default_backend() == "tpu"
+        ):
+            attn_impl = "fused_block"
         if attn_impl == "fused_block" and not fusable:
             attn_impl = "auto"
 
