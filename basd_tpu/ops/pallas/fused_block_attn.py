@@ -317,7 +317,11 @@ def _bwd_train_kernel(
         ),
         axis=0,
     )  # (D, D)
-    dbp = jnp.sum(jnp.sum(dy, axis=1), axis=0, keepdims=True)  # (1, D)
+    # single fused (0,1)-axis reductions: the 2-step form (sum axis=1,
+    # then axis=0 keepdims) hits a Mosaic "Invalid relayout" on the
+    # (G, D) intermediate when D is not a lane multiple (D=192
+    # hardware-bisected; D=384 compiles either way)
+    dbp = jnp.sum(dy, axis=(0, 1))[None, :]  # (1, D)
 
     # qkv grads
     dwqkv = jnp.sum(
@@ -327,12 +331,12 @@ def _bwd_train_kernel(
         ),
         axis=0,
     )  # (D, 3D)
-    dbqkv = jnp.sum(jnp.sum(dqkv, axis=1), axis=0, keepdims=True)  # (1, 3D)
+    dbqkv = jnp.sum(dqkv, axis=(0, 1))[None, :]  # (1, 3D)
 
     dxn = _wdot(dqkvb, wqkv_ref[...], transpose=True)  # (G, N, D) f32
 
-    ds = jnp.sum(jnp.sum(dxn * xhat, axis=1), axis=0, keepdims=True)
-    dbl = jnp.sum(jnp.sum(dxn, axis=1), axis=0, keepdims=True)
+    ds = jnp.sum(dxn * xhat, axis=(0, 1))[None, :]
+    dbl = jnp.sum(dxn, axis=(0, 1))[None, :]
 
     # LN VJP (per row): g = dxn * scale
     g = dxn * s_ln
