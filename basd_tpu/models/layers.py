@@ -410,15 +410,21 @@ class Block(nn.Module):
 
         # student sibling: same fusion with a full custom VJP and a
         # stochastic-depth multiplier, no importance output
-        # (ops/pallas/fused_block_attn.fused_block_attn_train). Opt-in
-        # via attention_impl='fused_block_train' pending hardware
-        # validation, like 'fused_block' above.
+        # (ops/pallas/fused_block_attn.fused_block_attn_train).
+        # Hardware-validated round 4 (v5e, D=192): Mosaic-vs-interpret
+        # grad parity at bf16 noise (loss relerr 8e-7) and faster —
+        # student fwd+bwd step 63.8 vs 70.3 ms at B=512
+        # (scripts/bench_parts.py student_step student_step_fused).
         fusable_train = (
             self.importance_mode is None
             and self.dtype == jnp.bfloat16
             and not self.ln_barrier
             and x.ndim == 3
         )
+        if attn_impl == "auto" and fusable_train and (
+            jax.default_backend() == "tpu"
+        ):
+            attn_impl = "fused_block_train"
         if attn_impl == "fused_block_train" and not fusable_train:
             attn_impl = "auto"
 
