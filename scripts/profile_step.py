@@ -185,7 +185,7 @@ def _setup(batch):
     )
     teacher = create_model(
         "deit_small_patch16_224", img_size=IMG, num_classes=0,
-        importance_mode="cls", dtype=jnp.bfloat16,
+        importance_mode="cls", dtype=jnp.bfloat16, collect_alias=True,
     )
     t_vars = init_model(teacher, jax.random.PRNGKey(1), IMG)
     student = create_model(
