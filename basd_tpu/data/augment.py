@@ -483,7 +483,12 @@ def trivial_augment_wide_stratified(
     """
     b, h, w, c = imgs.shape
     k_perm, k_mag, k_sign = jax.random.split(key, 3)
-    imgs = jnp.round(jnp.clip(imgs, 0.0, 255.0))
+    # uint8 boundary: every op consumes/produces integers in [0, 255]
+    # (PIL semantics), so the permutation gathers, the part concatenate
+    # and the inverse-permutation gather move 4x less HBM than the f32
+    # form; each op upcasts only its own batch slice. Output is uint8.
+    if imgs.dtype != jnp.uint8:
+        imgs = jnp.round(jnp.clip(imgs, 0.0, 255.0)).astype(jnp.uint8)
 
     perm = jax.random.permutation(k_perm, b)
     inv = jnp.argsort(perm)
@@ -504,16 +509,21 @@ def trivial_augment_wide_stratified(
     )
     mag = mag * sign
 
-    out = x
     parts: list[jnp.ndarray] = []
 
     def sl(o0, o1):
         return slice(bounds[o0], bounds[o1])
 
+    def q(p):
+        # per-part PIL quantization (was one full-batch round at the end)
+        return jnp.round(jnp.clip(p, 0.0, 255.0)).astype(jnp.uint8)
+
     # op 0: identity
     parts.append(x[sl(0, 1)])
 
     # ops 1-5: shift-pass geometry over the combined geometric slice
+    # (pure data movement + zero fill: uint8 in, uint8 out — the shift
+    # cascade upcasts to bf16 internally, exact for integers <= 255)
     g = sl(1, 6)
     if bounds[6] > bounds[1]:
         parts.append(_geom_three_pass(x[g], pos_op_j[g], mag[g]))
@@ -522,18 +532,20 @@ def trivial_augment_wide_stratified(
 
     # op 6: brightness
     s = sl(6, 7)
-    parts.append(jnp.clip(x[s] * f[s, None, None, None], 0, 255))
+    parts.append(q(x[s].astype(jnp.float32) * f[s, None, None, None]))
     # op 7: color
     s = sl(7, 8)
-    gray = _gray(x[s])[..., None]
-    parts.append(jnp.clip(gray + f[s, None, None, None] * (x[s] - gray), 0, 255))
+    xs = x[s].astype(jnp.float32)
+    gray = _gray(xs)[..., None]
+    parts.append(q(gray + f[s, None, None, None] * (xs - gray)))
     # op 8: contrast
     s = sl(8, 9)
-    mean_gray = jnp.mean(jnp.round(_gray(x[s])), axis=(1, 2))[:, None, None, None]
-    parts.append(jnp.clip(mean_gray + f[s, None, None, None] * (x[s] - mean_gray), 0, 255))
+    xs = x[s].astype(jnp.float32)
+    mean_gray = jnp.mean(jnp.round(_gray(xs)), axis=(1, 2))[:, None, None, None]
+    parts.append(q(mean_gray + f[s, None, None, None] * (xs - mean_gray)))
     # op 9: sharpness
     s = sl(9, 10)
-    xs = x[s]
+    xs = x[s].astype(jnp.float32)
     kernel = jnp.asarray(
         [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]], jnp.float32
     ) / 13.0
@@ -893,9 +905,11 @@ def make_train_views(
     it IS the cast after normalize, moved inside the jit).
     """
     b = images_u8.shape[0]
-    imgs = images_u8.astype(jnp.float32)
 
-    clean = center_crop(imgs, out_size) / 255.0
+    # slice the uint8 canvas first, upcast only the crop — a global f32
+    # canvas materialization costs a (B, R, R, 3) f32 slab (~400 MB at
+    # B=512/R=256) that nothing needs whole
+    clean = center_crop(images_u8, out_size).astype(jnp.float32) / 255.0
     t_mean, t_std = teacher_stats
     clean = normalize(clean, t_mean, t_std).astype(out_dtype)
 
@@ -903,18 +917,21 @@ def make_train_views(
 
     def one(img, ks):
         flip = jax.random.bernoulli(ks[1], 0.5)
-        return random_resized_crop(ks[0], img, out_size, flip=flip)
+        return random_resized_crop(
+            ks[0], img.astype(jnp.float32), out_size, flip=flip
+        )
 
-    cropped = jax.vmap(one)(imgs, keys)
+    cropped = jax.vmap(one)(images_u8, keys)
     augd = trivial_augment_wide_stratified(jax.random.fold_in(key, 7), cropped)
     d_mean, d_std = train_stats
-    augd = normalize(augd / 255.0, d_mean, d_std).astype(out_dtype)
+    augd = normalize(augd.astype(jnp.float32) / 255.0, d_mean, d_std).astype(
+        out_dtype
+    )
     return clean, augd
 
 
 @partial(jax.jit, static_argnames=("out_size", "stats"))
 def make_eval_view(images_u8: jnp.ndarray, out_size: int, stats: tuple):
-    imgs = images_u8.astype(jnp.float32)
-    x = center_crop(imgs, out_size) / 255.0
+    x = center_crop(images_u8, out_size).astype(jnp.float32) / 255.0
     mean, std = stats
     return normalize(x, mean, std)

@@ -84,6 +84,7 @@ def main() -> None:
 
     # bucket by source path
     buckets = collections.Counter()
+    bucket_ops = collections.defaultdict(collections.Counter)
     for name, dur in per_op.items():
         src = meta.get(name, "")
         n = (name + " " + src).lower()
@@ -112,9 +113,16 @@ def main() -> None:
         else:
             b = "other"
         buckets[b] += dur
+        bucket_ops[b][f"{name}  ::  {src[-110:]}"] += dur
     print("\nbuckets (ms/step):")
     for b, dur in buckets.most_common():
         print(f"  {b:<22} {dur / 3000:>8.1f}")
+
+    # detailed per-op breakdown inside requested buckets
+    for want in sys.argv[2:]:
+        print(f"\n--- {want} ops (us/step) ---")
+        for line, dur in bucket_ops[want].most_common(40):
+            print(f"{dur / 3.0:>10.0f}  {line}")
 
 
 def _hlo_metadata(trainer, sharded) -> dict:
