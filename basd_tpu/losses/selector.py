@@ -132,6 +132,33 @@ def _centered_gram(
     """
     from basd_tpu.ops.linalg import HI
 
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and toks.dtype == jnp.bfloat16
+        and toks.ndim == 4
+        and os.environ.get("BASD_TOKEN_GRAM", "0") == "1"
+    ):
+        # single-pass fused kernel: the XLA lowering below makes three
+        # full passes over the (K, B, N, D) stack (mean reduce, shifted
+        # materialization, Gram read — ~8.8 ms/step at bench teacher
+        # shapes); the kernel computes the identical centered Gram and
+        # mean in one pass via the exact any-constant shift identity
+        # (see ops/pallas/token_gram.py; same custom-VJP gradient).
+        # OPT-IN (default off): hardware-validated for parity
+        # (rel_err ~9e-4) but the Mosaic schedule currently runs ~6-17x
+        # SLOWER than the XLA lowering (broadcast-subtract pathology;
+        # probes in ops/pallas/token_gram.py docstring). Flip the
+        # default only after scripts/validate_token_gram.py shows a win.
+        from basd_tpu.ops.pallas.token_gram import centered_token_gram
+
+        g_c, mu_tok = centered_token_gram(toks)
+        sand = jnp.einsum(
+            "si,kij,tj->kst", proj, g_c, proj, precision=HI
+        )
+        return sand, mu_tok @ proj.T
+
     mu_dt = jnp.float32 if toks.dtype == jnp.bfloat16 else toks.dtype
     mu_tok = jnp.mean(toks, axis=(1, 2), dtype=mu_dt)  # (K, D)
     shift = jax.lax.stop_gradient(mu_tok)
@@ -151,6 +178,7 @@ def select_and_mix(
     teacher_tokens: jnp.ndarray,
     teacher_importance: jnp.ndarray,
     cfg: SelectorConfig,
+    mix_tokens: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Mix all teacher layers into one soft target per extraction point.
 
@@ -293,8 +321,14 @@ def select_and_mix(
 
     # mirror the reference's cast of weights to the token dtype
     # (src/losses/layer_selector.py:110) before mixing.
-    w_tok = weights.astype(teacher_tokens.dtype)
-    mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
+    # ``mix_tokens=False``: the caller consumes the fused Procrustes
+    # kernel, which performs the identical mixing in-VMEM — don't
+    # materialize the (P, B, N, D_t) mixed stack here.
+    if mix_tokens:
+        w_tok = weights.astype(teacher_tokens.dtype)
+        mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
+    else:
+        mixed_tokens = None
     mixed_importance = jnp.einsum(
         "pl,lbn->pbn", weights.astype(teacher_importance.dtype), t_imp
     )
