@@ -9,6 +9,7 @@ alignment by 1-D interpolation, attention-weighted Procrustes per point
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -17,7 +18,10 @@ import jax.numpy as jnp
 from basd_tpu.losses.selector import SelectorConfig, init_selector, select_and_mix
 from basd_tpu.ops.interp import align_token_count
 from basd_tpu.ops.losses import cross_entropy, uwso_combine, uwso_weights
-from basd_tpu.ops.procrustes import geometric_relational_loss
+from basd_tpu.ops.procrustes import (
+    geometric_relational_loss,
+    geometric_relational_loss_ident,
+)
 
 
 def extraction_layers(student_depth: int, num_points: int) -> list[int]:
@@ -88,28 +92,6 @@ def basd_loss(
     """
     ce = cross_entropy(student_logits, targets, cfg.label_smoothing)
 
-    # fused TPU path: selector mixing + weighted Procrustes statistics
-    # in one Pallas pass over the teacher stack (the (P, B, N, D_t)
-    # mixed tokens never touch HBM — see ops/pallas/procrustes_fused).
-    # Applicable when no 1-D token resample is needed and the tokens are
-    # bf16; 'svd' stays on the reference-parity composition.
-    # OPT-IN (default off): interpret-mode parity is locked
-    # (tests/test_procrustes_fused.py) but the kernel has not yet been
-    # timed on hardware (remote-compile outages); enable via
-    # BASD_FUSED_RELATIONAL=1 once scripts validate a win.
-    import os
-
-    fused_ok = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("BASD_FUSED_RELATIONAL", "0") == "1"
-        and cfg.backend in ("gram", "jacobi")
-        and teacher_tokens.dtype == jnp.bfloat16
-        and student_intermediates.dtype == jnp.bfloat16
-        and teacher_tokens.shape[2] == cfg.num_student_tokens
-        and student_intermediates.shape[2] == cfg.num_student_tokens
-        and teacher_importance.shape[-1] == cfg.num_student_tokens
-    )
-
     mixed_tokens, mixed_importance, sel_aux = select_and_mix(
         params,
         buffers,
@@ -117,32 +99,32 @@ def basd_loss(
         teacher_tokens,
         teacher_importance,
         cfg.selector_config,
-        mix_tokens=not fused_ok,
     )
 
-    if fused_ok:
-        from basd_tpu.ops import linalg
-        from basd_tpu.ops.pallas.procrustes_fused import (
-            fused_relational_stats,
-        )
+    # align mixed-teacher token counts to the student grid
+    aligned = align_token_count(
+        mixed_tokens.reshape((-1,) + mixed_tokens.shape[2:]),
+        cfg.num_student_tokens,
+    ).reshape(mixed_tokens.shape[:2] + (cfg.num_student_tokens, -1))
 
-        w = mixed_importance.astype(jnp.float32)
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
-        cross, tr_s, tr_t = fused_relational_stats(
-            student_intermediates,
-            jax.lax.stop_gradient(teacher_tokens),
-            w,
-            sel_aux["mix_weights"],
+    if cfg.backend in ("gram", "jacobi") and os.environ.get(
+        "BASD_RELATIONAL_IDENT", "1"
+    ) != "0":
+        # identity-form relational loss: never centers/weights the (2x
+        # larger) mixed-teacher panel — same function, ~6 ms less HBM
+        # traffic per step at bench shapes (ops/procrustes.py). A fully
+        # fused Pallas formulation was built and hardware-validated in
+        # round 4 but LOST to XLA (61.8 vs 46.5 ms fwd chain — Mosaic
+        # scheduling; see PARITY.md) and was deleted. 'svd' keeps the
+        # reference-shaped composition (centered/sqrt(w) panels).
+        geo_per_point = jnp.mean(
+            geometric_relational_loss_ident(
+                student_intermediates, aligned, mixed_importance,
+                nuclear_backend=cfg.backend,
+            ),
+            axis=-1,
         )
-        nuclear = linalg.nuclear_norm_ns(cross)
-        geo_per_point = jnp.mean(tr_s + tr_t - 2.0 * nuclear, axis=-1)
     else:
-        # align mixed-teacher token counts to the student grid
-        aligned = align_token_count(
-            mixed_tokens.reshape((-1,) + mixed_tokens.shape[2:]),
-            cfg.num_student_tokens,
-        ).reshape(mixed_tokens.shape[:2] + (cfg.num_student_tokens, -1))
-
         geo_per_point = jax.vmap(
             lambda s, t, w: geometric_relational_loss(
                 s, t, w, nuclear_backend=cfg.backend

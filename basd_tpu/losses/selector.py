@@ -178,7 +178,6 @@ def select_and_mix(
     teacher_tokens: jnp.ndarray,
     teacher_importance: jnp.ndarray,
     cfg: SelectorConfig,
-    mix_tokens: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Mix all teacher layers into one soft target per extraction point.
 
@@ -321,14 +320,8 @@ def select_and_mix(
 
     # mirror the reference's cast of weights to the token dtype
     # (src/losses/layer_selector.py:110) before mixing.
-    # ``mix_tokens=False``: the caller consumes the fused Procrustes
-    # kernel, which performs the identical mixing in-VMEM — don't
-    # materialize the (P, B, N, D_t) mixed stack here.
-    if mix_tokens:
-        w_tok = weights.astype(teacher_tokens.dtype)
-        mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
-    else:
-        mixed_tokens = None
+    w_tok = weights.astype(teacher_tokens.dtype)
+    mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
     mixed_importance = jnp.einsum(
         "pl,lbn->pbn", weights.astype(teacher_importance.dtype), t_imp
     )

@@ -99,3 +99,86 @@ def geometric_relational_loss(
         nuclear = linalg.nuclear_norm_ns(cross)
 
     return jnp.mean(tr_s + tr_t - 2.0 * nuclear)
+
+
+def geometric_relational_loss_ident(
+    student_tokens: jnp.ndarray,
+    teacher_tokens: jnp.ndarray,
+    importance: jnp.ndarray,
+    *,
+    nuclear_backend: str = "gram",
+) -> jnp.ndarray:
+    """Identity-form Procrustes loss, batched over leading dims.
+
+    The same mathematical function as ``geometric_relational_loss``
+    (reference ``src/losses/relational.py:5-50``) — value- AND
+    gradient-identical in exact arithmetic — rewritten through the
+    weighted-centering identities so the teacher side is never centered
+    or weighted:
+
+        sum_n w_n (s_n - mu_s)(t_n - mu_t)^T = sum_n (w_n (s_n - mu_s)) t_n^T
+        sum_n w_n ||t_n - mu_t||^2           = sum_n w_n ||t_n||^2 - ||mu_t||^2
+
+    (both because ``sum_n w_n (s_n - mu_s) = 0`` and ``sum_n w_n = 1``).
+    At distillation shapes the teacher panel is the 2-4x larger side —
+    the standard form materializes its f32 upcast, centering and
+    sqrt(w)-scaling (~1.2 GB/step at bench shapes, traced at ~6 ms);
+    here the raw (often bf16) teacher tokens feed the cross dot and one
+    fused moment pass directly. Gradients flow by plain autodiff — the
+    identity holds pointwise in (s, t, w), so the differential matches.
+
+    Args:
+        student_tokens: (..., N, D_s).
+        teacher_tokens: (..., N, D_t), token count already aligned.
+        importance: (..., N) unnormalized weights.
+
+    Returns:
+        (...,)-shaped per-batch loss (caller means over what it wants);
+        note the standard form means over the batch itself.
+    """
+    s = student_tokens.astype(jnp.float32)
+    w = importance.astype(jnp.float32)
+    if w.shape[-1] != s.shape[-2]:
+        w = linear_interp1d(w, s.shape[-2], axis=-1)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    prec = jax.lax.Precision.HIGH
+    mu_s = jnp.einsum("...n,...nd->...d", w, s, precision=prec)
+    s_c = s - mu_s[..., None, :]
+    sw2 = w[..., None] * s_c  # full w on the student side
+    tr_s = jnp.sum(sw2 * s_c, axis=(-1, -2))
+
+    # teacher side: never per-point centered or sqrt(w)-weighted. Both
+    # tr_t and cross are exactly invariant to ANY constant channel shift
+    # of t (cross because sum_n w_n s_c,n = 0; tr_t because it is a
+    # weighted variance), so shift by a cheap stop-grad slice mean: the
+    # raw-moment form sum w||t||^2 - ||mu||^2 cancels catastrophically
+    # on real ViT residual streams (outlier channels with means >> std
+    # — measured ~1e-2 on the bench loss), while the shifted form works
+    # at the centered scale. The (t - c) subtract has no materialized
+    # consumer of its own — XLA fuses it into the rowsq reduce and the
+    # cross dot's operand read.
+    b_slice = min(teacher_tokens.shape[-3], 64)
+    c = jax.lax.stop_gradient(
+        jnp.mean(
+            teacher_tokens[..., :b_slice, :, :].astype(jnp.float32),
+            axis=(-3, -2), keepdims=True,
+        )
+    )
+    t_c = teacher_tokens.astype(jnp.float32) - c
+    rowsq = jnp.einsum(
+        "...nd,...nd->...n", t_c, t_c, precision=prec,
+    )
+    mu_tc = jnp.einsum("...n,...nd->...d", w, t_c, precision=prec)
+    tr_t = jnp.einsum("...n,...n->...", w, rowsq) - jnp.sum(
+        jnp.square(mu_tc), axis=-1
+    )
+
+    cross = jnp.einsum("...ns,...nt->...st", sw2, t_c, precision=prec)
+    if nuclear_backend == "svd":
+        nuclear = linalg.nuclear_norm_ref(cross)
+    elif nuclear_backend == "eigh":
+        nuclear = linalg.nuclear_norm(cross)
+    else:
+        nuclear = linalg.nuclear_norm_ns(cross)
+    return tr_s + tr_t - 2.0 * nuclear

@@ -1,0 +1,118 @@
+"""Identity-form relational loss == reference-shaped composition.
+
+``geometric_relational_loss_ident`` rewrites the attention-weighted
+Procrustes loss (reference ``src/losses/relational.py:5-50``) through
+the weighted-centering identities (sum_n w_n (s_n - mu_s) = 0,
+sum w = 1) so the teacher panel is consumed raw. The identity is exact
+in exact arithmetic; these tests lock value and gradient agreement at
+f32 tolerances, including outlier teacher channel means (the raw-moment
+tr_t formulation's cancellation stress case), and that the basd_loss
+gram path (which now uses it) matches the composed form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.ops.procrustes import (
+    geometric_relational_loss,
+    geometric_relational_loss_ident,
+)
+
+P, B, N, DS, DT = 2, 4, 12, 8, 16
+
+
+def _data(outliers: bool):
+    rng = np.random.default_rng(3)
+    s = rng.standard_normal((P, B, N, DS)).astype(np.float32)
+    t = rng.standard_normal((P, B, N, DT)).astype(np.float32)
+    if outliers:
+        # ViT residual-stream realism: a few channels with mean >> std.
+        # At this magnitude the raw-moment tr_t form (sum w||t||^2 -
+        # ||mu||^2, no shift) drifts ~1e-2 — the bench-observed failure
+        # the stop-grad slice shift in the implementation fixes.
+        t[:, :, :, ::5] += 100.0
+    w = rng.uniform(0.05, 1.0, (P, B, N)).astype(np.float32)
+    return jnp.asarray(s), jnp.asarray(t), jnp.asarray(w)
+
+
+def _composed(s, t, w, backend):
+    per_p = jax.vmap(
+        lambda sp, tp, wp: geometric_relational_loss(
+            sp, tp, wp, nuclear_backend=backend
+        )
+    )(s, t, w)
+    return jnp.mean(per_p)
+
+
+def _ident(s, t, w, backend):
+    return jnp.mean(
+        geometric_relational_loss_ident(s, t, w, nuclear_backend=backend)
+    )
+
+
+@pytest.mark.parametrize("outliers", [False, True])
+@pytest.mark.parametrize("backend", ["svd", "gram"])
+def test_value_matches_composition(outliers, backend):
+    s, t, w = _data(outliers)
+    vi = float(_ident(s, t, w, backend))
+    vc = float(_composed(s, t, w, backend))
+    assert abs(vi - vc) / abs(vc) < 5e-5
+
+
+@pytest.mark.parametrize("outliers", [False, True])
+def test_gradients_match_composition(outliers):
+    s, t, w = _data(outliers)
+    gi = jax.grad(_ident, argnums=(0, 2))(s, t, w, "svd")
+    gc = jax.grad(_composed, argnums=(0, 2))(s, t, w, "svd")
+    for a, b in zip(gi, gc):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+
+
+def test_bf16_inputs_and_batch_shapes():
+    s, t, w = _data(True)
+    out = geometric_relational_loss_ident(
+        s.astype(jnp.bfloat16), t.astype(jnp.bfloat16), w
+    )
+    assert out.shape == (P, B)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_basd_loss_gram_path_matches_composed(monkeypatch):
+    """basd_loss (gram backend, now identity-form) == the vmapped
+    composition it replaced, via the env kill-switch."""
+    import importlib
+
+    from basd_tpu.losses import BASDLossConfig, basd_loss, init_basd_loss
+
+    rng = np.random.default_rng(11)
+    L, C = 3, 7
+    cfg = BASDLossConfig(
+        student_dim=DS, teacher_dim=DT, student_depth=4,
+        num_student_tokens=N, num_extraction_points=P,
+        label_smoothing=0.1, teacher_has_cls_token=True, backend="gram",
+    )
+    params, buffers = init_basd_loss(jax.random.PRNGKey(0), cfg)
+    logits = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, (B,)), jnp.int32)
+    s_int = jnp.asarray(rng.standard_normal((P, B, N, DS)), jnp.float32)
+    t_tok = jnp.asarray(rng.standard_normal((L, B, N, DT)), jnp.float32)
+    t_imp = jnp.asarray(rng.uniform(0.1, 1.0, (L, B, N)), jnp.float32)
+
+    def run():
+        loss, aux = basd_loss(
+            params, buffers, logits, labels, s_int, t_tok, t_imp, cfg
+        )
+        return float(loss), float(aux["geo_loss"])
+
+    monkeypatch.setenv("BASD_RELATIONAL_IDENT", "1")
+    li, gi = run()
+    monkeypatch.setenv("BASD_RELATIONAL_IDENT", "0")
+    lc, gc = run()
+    assert abs(li - lc) / abs(lc) < 5e-5
+    assert abs(gi - gc) / abs(gc) < 5e-5
