@@ -132,33 +132,13 @@ def _centered_gram(
     """
     from basd_tpu.ops.linalg import HI
 
-    import os
-
-    if (
-        jax.default_backend() == "tpu"
-        and toks.dtype == jnp.bfloat16
-        and toks.ndim == 4
-        and os.environ.get("BASD_TOKEN_GRAM", "0") == "1"
-    ):
-        # single-pass fused kernel: the XLA lowering below makes three
-        # full passes over the (K, B, N, D) stack (mean reduce, shifted
-        # materialization, Gram read — ~8.8 ms/step at bench teacher
-        # shapes); the kernel computes the identical centered Gram and
-        # mean in one pass via the exact any-constant shift identity
-        # (see ops/pallas/token_gram.py; same custom-VJP gradient).
-        # OPT-IN (default off): hardware-validated for parity
-        # (rel_err ~9e-4) but the Mosaic schedule currently runs ~6-17x
-        # SLOWER than the XLA lowering (broadcast-subtract pathology;
-        # probes in ops/pallas/token_gram.py docstring). Flip the
-        # default only after scripts/validate_token_gram.py shows a win.
-        from basd_tpu.ops.pallas.token_gram import centered_token_gram
-
-        g_c, mu_tok = centered_token_gram(toks)
-        sand = jnp.einsum(
-            "si,kij,tj->kst", proj, g_c, proj, precision=HI
-        )
-        return sand, mu_tok @ proj.T
-
+    # NOTE: a single-pass fused Pallas kernel for this op (centered Gram
+    # + mean over the (K, B, N, D) stack in one VMEM pass) was built and
+    # hardware-validated for parity in round 4, but its Mosaic schedule
+    # ran 4-18x SLOWER than this three-pass XLA lowering (~8.8 ms/step
+    # at bench teacher shapes; broadcast-subtract relayout pathology)
+    # across every probed variant, so it was deleted rather than kept as
+    # opt-in dead code.
     mu_dt = jnp.float32 if toks.dtype == jnp.bfloat16 else toks.dtype
     mu_tok = jnp.mean(toks, axis=(1, 2), dtype=mu_dt)  # (K, D)
     shift = jax.lax.stop_gradient(mu_tok)
