@@ -841,36 +841,39 @@ def mixup_cutmix(
 
     h, w = images.shape[1], images.shape[2]
 
-    def do_mixup(_):
-        # blend in the image dtype (bf16 on the TPU fast path — halves
-        # the HBM traffic of the 3-slab blend; values differ from the
-        # f32 blend by <= 1 ulp of the image dtype). The rounded lam_i
-        # IS the effective pixel coefficient, so return it for the
-        # target mix too — images and labels mix with the SAME lambda
-        # (reference trainer.py:138 semantics), within 1 bf16 ulp of
-        # the f32 beta draw.
-        lam_i = lam.astype(images.dtype)
-        mixed = lam_i * images + (1.0 - lam_i) * rolled_img
-        return mixed, lam_i.astype(lam.dtype)
-
-    def do_cutmix(_):
-        r_y = jax.random.randint(k_box, (), 0, h)
-        r_x = jax.random.randint(jax.random.fold_in(k_box, 1), (), 0, w)
-        r_h = jnp.sqrt(1.0 - lam) * h
-        r_w = jnp.sqrt(1.0 - lam) * w
-        y1 = jnp.clip(r_y - r_h / 2, 0, h).astype(jnp.int32)
-        y2 = jnp.clip(r_y + r_h / 2, 0, h).astype(jnp.int32)
-        x1 = jnp.clip(r_x - r_w / 2, 0, w).astype(jnp.int32)
-        x2 = jnp.clip(r_x + r_w / 2, 0, w).astype(jnp.int32)
-        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        box = ((yy >= y1) & (yy < y2) & (xx >= x1) & (xx < x2))[None, :, :, None]
-        mixed = jnp.where(box, rolled_img, images)
-        lam_adj = 1.0 - ((y2 - y1) * (x2 - x1)) / (h * w)
-        return mixed, lam_adj
-
     use_mixup = jax.random.bernoulli(k_choice, 0.5)
-    mixed, lam_eff = jax.lax.cond(use_mixup, do_mixup, do_cutmix, None)
+
+    # Branchless blend: both branches are affine mixes of (images,
+    # rolled), so one fused pass replaces the lax.cond — the cond's
+    # branch-result copies cost ~2.8 ms/step at bench shapes (traced),
+    # the merged blend one 2-read/1-write pass (~0.5 ms). Values are
+    # bit-identical to the branches: CutMix coefficients are exact 0/1
+    # (multiply by 1.0 / add 0.0 is exact), and the MixUp pair keeps the
+    # reference two-term formula. Blending in the image dtype (bf16 on
+    # the TPU fast path) halves the HBM traffic; the rounded lam_i IS
+    # the effective pixel coefficient, so the target mix uses it too —
+    # images and labels mix with the SAME lambda (reference
+    # trainer.py:138 semantics), within 1 bf16 ulp of the f32 beta draw.
+    lam_i = lam.astype(images.dtype)
+
+    r_y = jax.random.randint(k_box, (), 0, h)
+    r_x = jax.random.randint(jax.random.fold_in(k_box, 1), (), 0, w)
+    r_h = jnp.sqrt(1.0 - lam) * h
+    r_w = jnp.sqrt(1.0 - lam) * w
+    y1 = jnp.clip(r_y - r_h / 2, 0, h).astype(jnp.int32)
+    y2 = jnp.clip(r_y + r_h / 2, 0, h).astype(jnp.int32)
+    x1 = jnp.clip(r_x - r_w / 2, 0, w).astype(jnp.int32)
+    x2 = jnp.clip(r_x + r_w / 2, 0, w).astype(jnp.int32)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    box = ((yy >= y1) & (yy < y2) & (xx >= x1) & (xx < x2))[None, :, :, None]
+    box_f = box.astype(images.dtype)
+    lam_adj = 1.0 - ((y2 - y1) * (x2 - x1)) / (h * w)
+
+    c_base = jnp.where(use_mixup, lam_i, 1.0 - box_f)
+    c_roll = jnp.where(use_mixup, 1.0 - lam_i, box_f)
+    mixed = c_base * images + c_roll * rolled_img
+    lam_eff = jnp.where(use_mixup, lam_i.astype(lam.dtype), lam_adj)
     targets = lam_eff * onehot + (1.0 - lam_eff) * rolled_lab
     return mixed, targets
 

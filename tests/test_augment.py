@@ -262,9 +262,13 @@ def test_mixup_blend_bf16_close_to_f32_blend():
         assert m16.dtype == jnp.bfloat16
         a = np.asarray(m32, np.float32)
         bm = np.asarray(m16, np.float32)
-        # bf16 has 8 mantissa bits: 2^-8 relative per element, doubled
-        # for the two roundings in the blend
-        assert np.max(np.abs(a - bm)) <= 2 ** -7 * max(np.abs(a).max(), 1.0)
+        # bf16 has 8 mantissa bits: 2^-8 relative per element, times
+        # three roundings — the f32->bf16 input quantization of BOTH
+        # blend operands plus the multiply and add (the quantization
+        # errors of images and rolled_img are independent, so the 2x
+        # "two roundings" bound was marginally exceedable on unlucky
+        # draws: observed 1.04 * 2^-7 at seed-order dependence)
+        assert np.max(np.abs(a - bm)) <= 3 * 2 ** -8 * max(np.abs(a).max(), 1.0)
         # targets follow the pixel lambda: identical on the cutmix
         # branch, <= 1 bf16 ulp apart on the mixup branch
         np.testing.assert_allclose(
