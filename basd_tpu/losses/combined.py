@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.losses.selector import SelectorConfig, init_selector, select_and_mix
+from basd_tpu.models.tokens import PackedTokens
 from basd_tpu.ops.interp import align_token_count
 from basd_tpu.ops.losses import cross_entropy, uwso_combine, uwso_weights
 from basd_tpu.ops.procrustes import (
@@ -92,6 +93,25 @@ def basd_loss(
     """
     ce = cross_entropy(student_logits, targets, cfg.label_smoothing)
 
+    if isinstance(teacher_tokens, PackedTokens):
+        # the packed (flat, CLS-kept) collection rides the hot path only
+        # when the loss can consume it without re-layout: fused Gram
+        # backend, identity-form relational loss, and token counts that
+        # need no interpolation. Anything else gets the reference-shaped
+        # dense stack. Keep this predicate in sync with select_and_mix's
+        # own packed fallback (same backend + m_t >= d_s condition).
+        ident_on = os.environ.get("BASD_RELATIONAL_IDENT", "1") != "0"
+        packed_ok = (
+            cfg.backend in ("gram", "jacobi")
+            and ident_on
+            and teacher_tokens.num_patch_tokens == cfg.num_student_tokens
+            and teacher_tokens.batch * teacher_tokens.num_patch_tokens
+            >= cfg.student_dim
+        )
+        if not packed_ok:
+            teacher_tokens = teacher_tokens.to_dense()
+    packed = isinstance(teacher_tokens, PackedTokens)
+
     mixed_tokens, mixed_importance, sel_aux = select_and_mix(
         params,
         buffers,
@@ -100,6 +120,47 @@ def basd_loss(
         teacher_importance,
         cfg.selector_config,
     )
+
+    if packed:
+        # mixed_tokens (P, B, N, D) still carries the mixed CLS row at
+        # n = 0. Give it ZERO Procrustes weight instead of stripping:
+        # every per-token term of the identity-form loss is multiplied
+        # by w_n (ops/procrustes.py:geometric_relational_loss_ident),
+        # so a zero-weight row contributes nothing — exactly the
+        # stripped loss, minus two whole-stack copies. The student
+        # panel gets a dead zero row to keep token indices aligned.
+        if teacher_tokens.has_cls:
+            s_pan = jnp.concatenate(
+                [
+                    jnp.zeros_like(student_intermediates[:, :, :1]),
+                    student_intermediates,
+                ],
+                axis=2,
+            )
+            w_pan = jnp.concatenate(
+                [jnp.zeros_like(mixed_importance[..., :1]), mixed_importance],
+                axis=-1,
+            )
+        else:
+            s_pan, w_pan = student_intermediates, mixed_importance
+        geo_per_point = jnp.mean(
+            geometric_relational_loss_ident(
+                s_pan, mixed_tokens, w_pan, nuclear_backend=cfg.backend
+            ),
+            axis=-1,
+        )
+        geo = jnp.mean(geo_per_point)
+
+        vals = jnp.stack([ce, geo])
+        loss = uwso_combine(vals)
+        aux = {
+            "ce_loss": ce,
+            "geo_loss": geo,
+            "geo_per_point": geo_per_point,
+            "uwso_weights": uwso_weights(vals),
+            **sel_aux,
+        }
+        return loss, aux
 
     # align mixed-teacher token counts to the student grid
     aligned = align_token_count(

@@ -43,6 +43,7 @@ from basd_tpu.ops.grassmann import (
     rank_mask,
     spectral_grassmann_distance_sq,
 )
+from basd_tpu.models.tokens import PackedTokens
 from basd_tpu.ops.linalg import orthogonal_matrix
 
 # 3-pass f32 emulation: ~2e-6 relative accuracy, half the cost of the
@@ -151,6 +152,51 @@ def _centered_gram(
     return sand - m * d[:, :, None] * d[:, None, :], mu_p
 
 
+def _centered_gram_flat(
+    flat: jnp.ndarray,
+    cls: jnp.ndarray | None,
+    proj: jnp.ndarray,
+    m: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``_centered_gram`` over the PATCH rows of a flat (K, B*N, D)
+    packed collection (models.tokens.PackedTokens), CLS rows excluded
+    exactly via the tiny (K, B, D) CLS slab:
+
+        sum_patch t t^T = sum_all t t^T - sum_cls t t^T
+
+    (both sides shifted by the same stop-grad channel mean, so the
+    identity holds term by term at the centered numerical scale). Never
+    materializes the 4-D stack or its CLS strip — the two whole-stack
+    copies the dense path pays on TPU. ``m`` is the PATCH row count
+    (B * (N - 1) with a CLS token). No-grad intended (the teacher side);
+    the student side keeps the dense ``_centered_gram``.
+    """
+    from basd_tpu.ops.linalg import HI
+
+    mu_dt = jnp.float32 if flat.dtype == jnp.bfloat16 else flat.dtype
+    s_all = jnp.sum(flat, axis=1, dtype=mu_dt)  # (K, D)
+    if cls is not None:
+        s_all = s_all - jnp.sum(cls, axis=1, dtype=mu_dt)
+    mu_tok = s_all / m  # (K, D) patch-row mean
+    shift = jax.lax.stop_gradient(mu_tok)
+    shifted = (flat - shift[:, None, :]).astype(flat.dtype)
+    prec = None if flat.dtype == jnp.bfloat16 else _PROJ_PREC
+    g = jnp.einsum(
+        "kmd,kme->kde", shifted, shifted,
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    if cls is not None:
+        sc = (cls - shift[:, None, :]).astype(flat.dtype)
+        g = g - jnp.einsum(
+            "kbd,kbe->kde", sc, sc,
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+    sand = jnp.einsum("si,kij,tj->kst", proj, g, proj, precision=HI)
+    mu_p = mu_tok @ proj.T
+    d = mu_p - shift @ proj.T
+    return sand - m * d[:, :, None] * d[:, None, :], mu_p
+
+
 def select_and_mix(
     params: dict,
     buffers: dict,
@@ -163,26 +209,51 @@ def select_and_mix(
 
     Args:
         student_tokens: (P, B, N_s, D_s) tokens at the P extraction points.
-        teacher_tokens: (L, B, N_t, D_t) per-teacher-layer tokens (frozen).
-        teacher_importance: (L, B, N_t) reduced attention importance.
+        teacher_tokens: (L, B, N_t, D_t) per-teacher-layer tokens (frozen,
+            CLS-stripped), or a ``models.tokens.PackedTokens`` flat
+            collection WITH its CLS rows — the TPU fast path, consumed
+            without the whole-stack relayout/strip copies (Grams via
+            ``_centered_gram_flat``; exact equivalence locked by
+            tests/test_packed_tokens.py). Packed inputs off the
+            gram/jacobi fast path are densified internally.
+        teacher_importance: (L, B, N_patch) reduced attention importance.
 
     Returns:
-        mixed_tokens: (P, B, N_t, D_t)
-        mixed_importance: (P, B, N_t)
+        mixed_tokens: (P, B, N_t, D_t); for packed inputs N_t INCLUDES
+            the mixed CLS row at n=0 (callers zero-weight it — see
+            losses.combined).
+        mixed_importance: (P, B, N_patch)
         aux: dict with 'ranks' (L,), 'mix_weights' (P, L),
              'distances_sq' (P, L), 'temperatures' (P,).
     """
     proj_s = buffers["proj_s"]
     proj_t = buffers["proj_t"]
     d_s = cfg.student_dim
-    L = teacher_tokens.shape[0]
+
+    packed = isinstance(teacher_tokens, PackedTokens)
+    if packed:
+        m_t = teacher_tokens.batch * teacher_tokens.num_patch_tokens
+        if cfg.backend not in ("gram", "jacobi") or m_t < d_s:
+            # packed collections only ride the fused Gram fast path;
+            # the parity/tiny paths get the reference-shaped stack
+            teacher_tokens = teacher_tokens.to_dense()
+            packed = False
+    if packed:
+        L = teacher_tokens.num_layers
+        t_flat_all = jax.lax.stop_gradient(teacher_tokens.flat)
+        t_cls = (
+            jax.lax.stop_gradient(teacher_tokens.cls)
+            if teacher_tokens.has_cls
+            else None
+        )
+        tok_dtype = t_flat_all.dtype
+    else:
+        L = teacher_tokens.shape[0]
+        t_tokens = jax.lax.stop_gradient(teacher_tokens)
+        m_t = t_tokens.shape[1] * t_tokens.shape[2]
+        tok_dtype = teacher_tokens.dtype
     P = student_tokens.shape[0]
-
-    # ---- teacher side (all no-grad) ------------------------------------
-    t_tokens = jax.lax.stop_gradient(teacher_tokens)
     t_imp = jax.lax.stop_gradient(teacher_importance)
-
-    m_t = t_tokens.shape[1] * t_tokens.shape[2]
 
     r_cap = min(cfg.max_rank or d_s, d_s)
 
@@ -224,7 +295,12 @@ def select_and_mix(
             safe_eigh,
         )
 
-        gram_tc, mu_t = _centered_gram(t_tokens, proj_t, m_t)
+        if packed:
+            gram_tc, mu_t = _centered_gram_flat(
+                t_flat_all, t_cls, proj_t, m_t
+            )
+        else:
+            gram_tc, mu_t = _centered_gram(t_tokens, proj_t, m_t)
 
         m_s = student_tokens.shape[1] * student_tokens.shape[2]
         gram_sc, _ = _centered_gram(student_tokens, proj_s, m_s)
@@ -300,8 +376,17 @@ def select_and_mix(
 
     # mirror the reference's cast of weights to the token dtype
     # (src/losses/layer_selector.py:110) before mixing.
-    w_tok = weights.astype(teacher_tokens.dtype)
-    mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
+    w_tok = weights.astype(tok_dtype)
+    if packed:
+        # mix the flat stack directly; the (P, B, N, D) view of the
+        # mixed panel is the ONLY padded-layout materialization left
+        # (P = 4 extraction points vs the L = 12 layer stack the dense
+        # path reshapes + strips)
+        mixed_tokens = jnp.einsum(
+            "pl,lmd->pmd", w_tok, t_flat_all
+        ).reshape(P, teacher_tokens.batch, teacher_tokens.num_tokens, -1)
+    else:
+        mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
     mixed_importance = jnp.einsum(
         "pl,lbn->pbn", weights.astype(teacher_importance.dtype), t_imp
     )

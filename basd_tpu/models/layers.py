@@ -565,18 +565,28 @@ class Block(nn.Module):
             n_tok = x.shape[1] - 1 if self.has_cls_token else x.shape[1]
             importance = jnp.zeros((x.shape[0], n_tok), jnp.float32)
         if self.collect_alias:
-            if buf.dtype != x.dtype or buf.shape[1:] != x.shape:
+            m = x.shape[0] * x.shape[1]
+            if (
+                buf.dtype != x.dtype
+                or buf.ndim != 2
+                or buf.shape[-1] != x.shape[-1]
+                or buf.shape[0] % m != 0
+            ):
                 raise ValueError(
-                    f"collect stack {buf.shape}/{buf.dtype} does not match "
-                    f"block output {x.shape}/{x.dtype}"
+                    f"flat collect stack {buf.shape}/{buf.dtype} does not "
+                    f"match block output {x.shape}/{x.dtype}"
                 )
             if mlp_impl != "fused_ln":
                 # module-path fallback (CPU / f32): same stack semantics
-                # via an in-place dynamic_update_slice
+                # via an in-place dynamic_update_slice on the flat buffer
                 buf = jax.lax.dynamic_update_slice(
-                    buf, x[None], (idx, 0, 0, 0)
+                    buf, x.reshape(m, x.shape[-1]), (idx * m, 0)
                 )
-            return (x, buf, idx + 1), importance
+            # CLS rows are collected as a separate tiny (B, D) scan
+            # output so packed consumers never gather them from the
+            # flat stack (models.tokens.PackedTokens).
+            cls_row = x[:, 0, :] if self.has_cls_token else None
+            return (x, buf, idx + 1), (importance, cls_row)
         # per-layer collected outputs: cls-stripped tokens (reference
         # strips cls in hooks: teacher.py:202, trainer.py:29)
         tokens = x[:, 1:, :] if self.has_cls_token else x

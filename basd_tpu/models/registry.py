@@ -379,8 +379,12 @@ def teacher_extract(bundle: ModelBundle, variables: dict, x: jnp.ndarray):
     """Per-layer tokens + reduced attention importance for the teacher —
     the reference's ``extract_intermediates`` (``teacher.py:180-216``).
 
-    Returns (tokens (L, B, N, D), importance (L, B, N)); CNN teachers
-    yield L=1 with uniform importance (``teacher.py:184-191``).
+    Returns (tokens, importance (L, B, N)). For ViT teachers built with
+    ``collect_alias`` the tokens are a ``models.tokens.PackedTokens``
+    (flat stack + CLS slab — the selector/loss consume it copy-free;
+    ``to_dense()`` recovers the reference-shaped (L, B, N, D) strip);
+    otherwise a dense (L, B, N, D) array. CNN teachers yield L=1 with
+    uniform importance (``teacher.py:184-191``).
     """
     out = bundle.module.apply(variables, x, deterministic=True)
     if bundle.info["feature_format"] == "token":
@@ -411,8 +415,11 @@ def estimate_intrinsic_dim(
 ) -> int:
     """MP rank of last-layer teacher tokens over calibration images
     (reference: ``estimate_intrinsic_dim``, ``teacher.py:161-177``)."""
+    from basd_tpu.models.tokens import PackedTokens
     from basd_tpu.ops.mp_rank import marchenko_pastur_rank
 
     tokens, _ = teacher_extract(bundle, variables, images)
+    if isinstance(tokens, PackedTokens):
+        tokens = tokens.to_dense()  # one-shot calibration: off hot path
     flat = tokens[-1].reshape(-1, tokens.shape[-1]).astype(jnp.float32)
     return int(marchenko_pastur_rank(flat))

@@ -20,6 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from basd_tpu.models.layers import Block, FusedLayerNorm, PatchEmbed
+from basd_tpu.models.tokens import PackedTokens
 
 
 @dataclass(frozen=True)
@@ -158,11 +159,23 @@ class VisionTransformer(nn.Module):
             name="blocks",
         )
         if collect_alias:
-            stack = jnp.zeros((cfg.depth,) + x.shape, self.dtype)
-            (x, stack, _), importance = blocks(
+            # the collection stack stays FLAT (L*B*N, D) end to end: the
+            # 4-D (L, B, N, D) view is a real whole-stack copy on TPU
+            # when N % 8 != 0 (sublane padding), and the CLS strip would
+            # be another — consumers read the packed form instead (see
+            # models.tokens.PackedTokens).
+            b_, n_, d_ = x.shape
+            stack = jnp.zeros((cfg.depth * b_ * n_, d_), self.dtype)
+            (x, stack, _), (importance, cls_slab) = blocks(
                 (x, stack, jnp.int32(0)), rates
             )
-            tokens = stack[:, :, 1:, :] if cfg.use_cls_token else stack
+            tokens = PackedTokens(
+                flat=stack.reshape(cfg.depth, b_ * n_, d_),
+                cls=cls_slab if cfg.use_cls_token else None,
+                batch=b_,
+                num_tokens=n_,
+                has_cls=cfg.use_cls_token,
+            )
         else:
             x, (tokens, importance) = blocks(x, rates)
 

@@ -288,15 +288,16 @@ def fused_ln_mlp_collect(
 
     FORWARD-ONLY (no VJP): intended for the frozen teacher, whose
     collected tokens are ``stop_gradient``-ed by the selector. ``buf``
-    has shape (L, B, N, D) and is updated IN PLACE via
+    is the FLAT (L * B * N, D) collection stack — kept flat end to end
+    because its 4-D view is a real whole-stack relayout copy on TPU
+    (see models.tokens.PackedTokens) — updated IN PLACE via
     ``input_output_aliases`` (donate it: pass the carried stack, use the
-    returned one). Rows other than ``layer`` are preserved.
+    returned one). Rows other than layer ``layer``'s slab are preserved.
 
     Returns ``(out, buf)`` with ``out = x + mask * mlp(LN(x))`` exactly
-    as ``fused_ln_mlp`` and ``buf[layer] == out``.
+    as ``fused_ln_mlp`` and ``buf[layer*B*N:(layer+1)*B*N] == out``.
     """
     b, n, d = x.shape
-    L = buf.shape[0]
     f = w1.shape[1]
     m = b * n
     mt = _row_tile(b, n)
@@ -310,10 +311,10 @@ def fused_ln_mlp_collect(
             x, mask, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret
         )
         return out, jax.lax.dynamic_update_slice(
-            buf, out[None].astype(buf.dtype), (layer, 0, 0, 0)
+            buf, out.reshape(m, d).astype(buf.dtype), (layer * m, 0)
         )
     x2 = x.reshape(m, d)
-    buf2 = buf.reshape(L * m, d)
+    buf2 = buf
     m2 = jnp.broadcast_to(
         mask.astype(_F32).reshape(b, 1, 1), (b, n, 1)
     ).reshape(m, 1)
@@ -346,7 +347,7 @@ def fused_ln_mlp_collect(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((m, d), x.dtype),
-            jax.ShapeDtypeStruct((L * m, d), buf.dtype),
+            jax.ShapeDtypeStruct(buf.shape, buf.dtype),
         ),
         # input 0 is the scalar-prefetch layer index; buf is input 9
         input_output_aliases={9: 1},
@@ -359,7 +360,7 @@ def fused_ln_mlp_collect(
       ln_scale.reshape(1, d).astype(_F32), ln_bias.reshape(1, d).astype(_F32),
       w1, b1.reshape(1, f).astype(_F32), w2, b2.reshape(1, d).astype(_F32),
       buf2)
-    return out.reshape(b, n, d), buf_new.reshape(L, b, n, d)
+    return out.reshape(b, n, d), buf_new
 
 
 def _flm_fwd(x, mask, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret):

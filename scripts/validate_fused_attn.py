@@ -51,16 +51,21 @@ def main():
         bundle.cfg, bundle.info, bundle.mean, bundle.std,
     )
 
+    from basd_tpu.models.tokens import PackedTokens
+
+    def _dense(t):
+        return t.to_dense() if isinstance(t, PackedTokens) else t
+
     t_ref, imp_ref = jax.jit(
         lambda v, x: teacher_extract(bundle, v, x)
     )(variables, x)
-    t_ref = np.asarray(t_ref, np.float32)
+    t_ref = np.asarray(_dense(t_ref), np.float32)
     imp_ref = np.asarray(imp_ref, np.float32)
 
     t_f, imp_f = jax.jit(
         lambda v, x: teacher_extract(fused_bundle, v, x)
     )(variables, x)
-    t_f = np.asarray(t_f, np.float32)
+    t_f = np.asarray(_dense(t_f), np.float32)
     imp_f = np.asarray(imp_f, np.float32)
 
     scale = np.abs(t_ref).mean()

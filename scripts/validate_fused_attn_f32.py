@@ -60,6 +60,10 @@ def main():
             t, imp = jax.jit(lambda v, xx: teacher_extract(bb, v, xx))(
                 variables, x.astype(dtype)
             )
+        from basd_tpu.models.tokens import PackedTokens
+
+        if isinstance(t, PackedTokens):
+            t = t.to_dense()
         return np.asarray(t, np.float32), np.asarray(imp, np.float32)
 
     t32, _ = variant("einsum", jnp.float32, precision="highest")  # f32 truth

@@ -156,7 +156,8 @@ def test_fused_ln_mlp_collect_matches_and_preserves_rows():
     x, ln_s, ln_b, w1, b1, w2, b2 = _mk(8, 13, 32, 128)
     mask = jnp.ones((8,), jnp.float32)
     L = 3
-    sentinel = jnp.full((L, 8, 13, 32), 7.0, x.dtype)
+    m = 8 * 13
+    sentinel = jnp.full((L * m, 32), 7.0, x.dtype)  # flat (L*B*N, D) stack
     args = (x, mask, ln_s, ln_b, w1.astype(x.dtype), b1,
             w2.astype(x.dtype), b2)
     o_ref = fused_ln_mlp(*args, 1e-6, True)
@@ -171,20 +172,22 @@ def test_fused_ln_mlp_collect_matches_and_preserves_rows():
         np.testing.assert_array_equal(
             np.asarray(o, np.float32), np.asarray(o_ref, np.float32)
         )
+    buf4 = buf.reshape(L, 8, 13, 32)
     for layer in range(L):
         np.testing.assert_array_equal(
-            np.asarray(buf[layer], np.float32),
+            np.asarray(buf4[layer], np.float32),
             np.asarray(o_ref, np.float32),
         )
-    # partial write preserves other rows
+    # partial write preserves other layers' slabs
     buf2 = fused_ln_mlp_collect(
         *args, sentinel, jnp.int32(1), 1e-6, True
-    )[1]
+    )[1].reshape(L, 8, 13, 32)
+    sent4 = sentinel.reshape(L, 8, 13, 32)
     np.testing.assert_array_equal(
-        np.asarray(buf2[0], np.float32), np.asarray(sentinel[0], np.float32)
+        np.asarray(buf2[0], np.float32), np.asarray(sent4[0], np.float32)
     )
     np.testing.assert_array_equal(
-        np.asarray(buf2[2], np.float32), np.asarray(sentinel[2], np.float32)
+        np.asarray(buf2[2], np.float32), np.asarray(sent4[2], np.float32)
     )
 
 
@@ -198,8 +201,9 @@ def test_fused_ln_mlp_collect_tiny_unaligned_fallback():
     args = (x, mask, ln_s, ln_b, w1.astype(x.dtype), b1,
             w2.astype(x.dtype), b2)
     o_ref = fused_ln_mlp(*args, 1e-6, True)
-    buf = jnp.full((2, 4, 5, 32), 3.0, x.dtype)
+    buf = jnp.full((2 * 4 * 5, 32), 3.0, x.dtype)  # flat (L*B*N, D)
     o, buf = fused_ln_mlp_collect(*args, buf, jnp.int32(1), 1e-6, True)
+    buf = buf.reshape(2, 4, 5, 32)
     np.testing.assert_array_equal(
         np.asarray(o, np.float32), np.asarray(o_ref, np.float32)
     )
@@ -231,12 +235,26 @@ def test_vit_collect_alias_matches_scan_collect():
     )
     o_ref = m_ref.apply(params, x)
     o_alias = m_alias.apply(params, x)
-    for k in ("logits", "tokens", "importance"):
+    for k in ("logits", "importance"):
         np.testing.assert_allclose(
             np.asarray(o_ref[k], np.float32),
             np.asarray(o_alias[k], np.float32),
             rtol=0, atol=0, err_msg=k,
         )
+    # the alias path returns a PackedTokens (flat + CLS slab); its dense
+    # view must bit-match the scan-collect strip, and the CLS slab must
+    # equal the per-layer CLS rows
+    pt = o_alias["tokens"]
+    np.testing.assert_allclose(
+        np.asarray(o_ref["tokens"], np.float32),
+        np.asarray(pt.to_dense(), np.float32),
+        rtol=0, atol=0, err_msg="tokens",
+    )
+    full = pt.flat.reshape(pt.num_layers, pt.batch, pt.num_tokens, -1)
+    np.testing.assert_array_equal(
+        np.asarray(pt.cls, np.float32),
+        np.asarray(full[:, :, 0, :], np.float32),
+    )
 
 
 @pytest.mark.parametrize("ls", [None, 0.7])
@@ -306,6 +324,7 @@ def test_vit_full_fused_teacher_path_interpret():
     )
     o_ref = m_ref.apply(params, x)
     o_f = m_fused.apply(params, x)
+    o_f = dict(o_f, tokens=o_f["tokens"].to_dense())  # packed collection
     for k, tol in (("tokens", 2 ** -5), ("logits", 2 ** -5)):
         a = np.asarray(o_ref[k], np.float32)
         b = np.asarray(o_f[k], np.float32)
