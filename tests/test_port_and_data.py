@@ -20,6 +20,12 @@ from basd_tpu.models.port import interpolate_pos_embed
 RNG = np.random.default_rng(23)
 
 
+def _dense(tokens):
+    """ViT teachers return PackedTokens (r4 zero-copy contract); CNN
+    teachers return the dense (L, B, N, D) stack. Normalize for asserts."""
+    return np.asarray(tokens.to_dense() if hasattr(tokens, "to_dense") else tokens)
+
+
 def _tiny_vit_state_dict(d=32, depth=2, n_tokens=16, mlp=2.0):
     sd = {
         "cls_token": torch.randn(1, 1, d) * 0.02,
@@ -65,8 +71,9 @@ def test_load_teacher_from_torch_checkpoint(tmp_path):
     assert variables["params"]["pos_embed"].shape == (1, 17, d)
     x = jnp.asarray(RNG.standard_normal((2, img, img, 3)), jnp.float32)
     tokens, imp = teacher_extract(bundle, variables, x)
-    assert tokens.shape == (depth, 2, 16, d)
-    assert np.isfinite(np.asarray(tokens)).all()
+    dense = _dense(tokens)
+    assert dense.shape == (depth, 2, 16, d)
+    assert np.isfinite(dense).all()
     np.testing.assert_allclose(
         np.asarray(imp).sum(-1), np.ones((depth, 2)), atol=0.2
     )  # cls-row importance sums to ~1 (cls key stripped)
@@ -95,8 +102,9 @@ def test_load_unlisted_teacher_derives_arch(tmp_path):
 
     x = jnp.asarray(RNG.standard_normal((2, 64, 64, 3)), jnp.float32)
     tokens, imp = teacher_extract(bundle, variables, x)
-    assert tokens.shape == (depth, 2, 16, d)
-    assert np.isfinite(np.asarray(tokens)).all()
+    dense = _dense(tokens)
+    assert dense.shape == (depth, 2, 16, d)
+    assert np.isfinite(dense).all()
     # ported weights actually took: qkv kernel matches the state dict
     np.testing.assert_allclose(
         np.asarray(variables["params"]["blocks"]["attn"]["qkv"]["kernel"][0]),
@@ -268,7 +276,7 @@ def test_port_real_checkpoint_layout(name, img, tmp_path):
     )
     x = jnp.asarray(RNG.standard_normal((2, img, img, 3)), jnp.float32)
     tokens, imp = teacher_extract(bundle, variables, x)
-    assert np.isfinite(np.asarray(tokens)).all()
+    assert np.isfinite(_dense(tokens)).all()
     assert np.isfinite(np.asarray(imp)).all()
 
 
