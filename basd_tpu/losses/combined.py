@@ -9,15 +9,19 @@ alignment by 1-D interpolation, attention-weighted Procrustes per point
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
-from basd_tpu.losses.selector import SelectorConfig, init_selector, select_and_mix
+from basd_tpu.losses.selector import (
+    SelectorConfig,
+    init_selector,
+    packed_gram_eligible,
+    select_and_mix,
+)
 from basd_tpu.models.tokens import PackedTokens
-from basd_tpu.ops.interp import align_token_count
+from basd_tpu.ops.interp import align_token_count, linear_interp1d
 from basd_tpu.ops.losses import cross_entropy, uwso_combine, uwso_weights
 from basd_tpu.ops.procrustes import (
     geometric_relational_loss,
@@ -47,6 +51,16 @@ class BASDLossConfig:
     # upstream in the teacher forward (see ops.procrustes)
     backend: str = "gram"
     max_rank: int | None = None
+    # relational-loss formulation: 'ident' rewrites the attention-weighted
+    # Procrustes loss through the weighted-centering identities so the
+    # (2-4x larger) teacher panel is consumed raw — value- and gradient-
+    # identical to 'composed' in exact arithmetic (tests/
+    # test_procrustes_ident.py), ~6 ms less HBM traffic per bench step.
+    # 'composed' keeps the reference-shaped centering/sqrt(w) composition;
+    # the 'svd' backend always uses it (full reference-parity path).
+    # Config key: basd.relational_impl. Was the BASD_RELATIONAL_IDENT env
+    # var before round 5 (ADVICE r4: env vars must not gate loss semantics).
+    relational_impl: str = "ident"
 
     @property
     def token_layers(self) -> list[int]:
@@ -95,18 +109,15 @@ def basd_loss(
 
     if isinstance(teacher_tokens, PackedTokens):
         # the packed (flat, CLS-kept) collection rides the hot path only
-        # when the loss can consume it without re-layout: fused Gram
-        # backend, identity-form relational loss, and token counts that
-        # need no interpolation. Anything else gets the reference-shaped
-        # dense stack. Keep this predicate in sync with select_and_mix's
-        # own packed fallback (same backend + m_t >= d_s condition).
-        ident_on = os.environ.get("BASD_RELATIONAL_IDENT", "1") != "0"
+        # when the loss can consume it without re-layout: the fused Gram
+        # selector (shared predicate — the SAME call select_and_mix gates
+        # on, so the stages can't drift) plus the identity-form relational
+        # loss. Mismatched token counts stay packed: the CLS strip + 1-D
+        # interpolation to the student grid is one small matmul on the
+        # P-point mixed panel (see below), not a whole-L-stack re-layout.
         packed_ok = (
-            cfg.backend in ("gram", "jacobi")
-            and ident_on
-            and teacher_tokens.num_patch_tokens == cfg.num_student_tokens
-            and teacher_tokens.batch * teacher_tokens.num_patch_tokens
-            >= cfg.student_dim
+            packed_gram_eligible(teacher_tokens, cfg.selector_config)
+            and cfg.relational_impl == "ident"
         )
         if not packed_ok:
             teacher_tokens = teacher_tokens.to_dense()
@@ -122,30 +133,47 @@ def basd_loss(
     )
 
     if packed:
-        # mixed_tokens (P, B, N, D) still carries the mixed CLS row at
-        # n = 0. Give it ZERO Procrustes weight instead of stripping:
-        # every per-token term of the identity-form loss is multiplied
-        # by w_n (ops/procrustes.py:geometric_relational_loss_ident),
-        # so a zero-weight row contributes nothing — exactly the
-        # stripped loss, minus two whole-stack copies. The student
-        # panel gets a dead zero row to keep token indices aligned.
-        if teacher_tokens.has_cls:
-            s_pan = jnp.concatenate(
-                [
-                    jnp.zeros_like(student_intermediates[:, :, :1]),
-                    student_intermediates,
-                ],
-                axis=2,
-            )
-            w_pan = jnp.concatenate(
-                [jnp.zeros_like(mixed_importance[..., :1]), mixed_importance],
-                axis=-1,
-            )
+        if teacher_tokens.num_patch_tokens == cfg.num_student_tokens:
+            # mixed_tokens (P, B, N, D) still carries the mixed CLS row at
+            # n = 0. Give it ZERO Procrustes weight instead of stripping:
+            # every per-token term of the identity-form loss is multiplied
+            # by w_n (ops/procrustes.py:geometric_relational_loss_ident),
+            # so a zero-weight row contributes nothing — exactly the
+            # stripped loss, minus two whole-stack copies. The student
+            # panel gets a dead zero row to keep token indices aligned.
+            t_pan = mixed_tokens
+            if teacher_tokens.has_cls:
+                s_pan = jnp.concatenate(
+                    [
+                        jnp.zeros_like(student_intermediates[:, :, :1]),
+                        student_intermediates,
+                    ],
+                    axis=2,
+                )
+                w_pan = jnp.concatenate(
+                    [jnp.zeros_like(mixed_importance[..., :1]), mixed_importance],
+                    axis=-1,
+                )
+            else:
+                s_pan, w_pan = student_intermediates, mixed_importance
         else:
+            # mismatched token counts: strip the mixed CLS row (a slice
+            # XLA fuses into the interp matmul's operand read) and
+            # resample the small P-point mixed panel to the student grid —
+            # the same F.interpolate-parity matmul the dense path applies
+            # (reference: src/losses/combined.py:9-14). Importance is
+            # resampled inside the ident loss (relational.py:29-33). The
+            # whole L-layer stack still never takes a dense re-layout.
+            patches = (
+                mixed_tokens[:, :, 1:]
+                if teacher_tokens.has_cls
+                else mixed_tokens
+            )
+            t_pan = linear_interp1d(patches, cfg.num_student_tokens, axis=2)
             s_pan, w_pan = student_intermediates, mixed_importance
         geo_per_point = jnp.mean(
             geometric_relational_loss_ident(
-                s_pan, mixed_tokens, w_pan, nuclear_backend=cfg.backend
+                s_pan, t_pan, w_pan, nuclear_backend=cfg.backend
             ),
             axis=-1,
         )
@@ -168,9 +196,7 @@ def basd_loss(
         cfg.num_student_tokens,
     ).reshape(mixed_tokens.shape[:2] + (cfg.num_student_tokens, -1))
 
-    if cfg.backend in ("gram", "jacobi") and os.environ.get(
-        "BASD_RELATIONAL_IDENT", "1"
-    ) != "0":
+    if cfg.backend in ("gram", "jacobi") and cfg.relational_impl == "ident":
         # identity-form relational loss: never centers/weights the (2x
         # larger) mixed-teacher panel — same function, ~6 ms less HBM
         # traffic per step at bench shapes (ops/procrustes.py). A fully

@@ -197,6 +197,23 @@ def _centered_gram_flat(
     return sand - m * d[:, :, None] * d[:, None, :], mu_p
 
 
+def packed_gram_eligible(tokens, cfg: SelectorConfig) -> bool:
+    """Whether a teacher collection can ride the fused packed Gram fast
+    path: a ``PackedTokens`` under a gram/jacobi backend with enough rows
+    (M >= D_s) for the Gram-eigh subspace extraction to be full-rank-safe.
+
+    This is the ONE eligibility predicate — ``select_and_mix`` densifies
+    ineligible packed inputs with it, and ``losses.combined`` gates its
+    packed consumption on the same call, so the two stages cannot drift
+    (ADVICE r4 medium: the predicate used to be duplicated and hand-synced).
+    """
+    return (
+        isinstance(tokens, PackedTokens)
+        and cfg.backend in ("gram", "jacobi")
+        and tokens.batch * tokens.num_patch_tokens >= cfg.student_dim
+    )
+
+
 def select_and_mix(
     params: dict,
     buffers: dict,
@@ -230,15 +247,13 @@ def select_and_mix(
     proj_t = buffers["proj_t"]
     d_s = cfg.student_dim
 
-    packed = isinstance(teacher_tokens, PackedTokens)
+    packed = packed_gram_eligible(teacher_tokens, cfg)
+    if isinstance(teacher_tokens, PackedTokens) and not packed:
+        # packed collections only ride the fused Gram fast path;
+        # the parity/tiny paths get the reference-shaped stack
+        teacher_tokens = teacher_tokens.to_dense()
     if packed:
         m_t = teacher_tokens.batch * teacher_tokens.num_patch_tokens
-        if cfg.backend not in ("gram", "jacobi") or m_t < d_s:
-            # packed collections only ride the fused Gram fast path;
-            # the parity/tiny paths get the reference-shaped stack
-            teacher_tokens = teacher_tokens.to_dense()
-            packed = False
-    if packed:
         L = teacher_tokens.num_layers
         t_flat_all = jax.lax.stop_gradient(teacher_tokens.flat)
         t_cls = (

