@@ -396,10 +396,16 @@ def select_and_mix(
         # mix the flat stack directly; the (P, B, N, D) view of the
         # mixed panel is the ONLY padded-layout materialization left
         # (P = 4 extraction points vs the L = 12 layer stack the dense
-        # path reshapes + strips)
-        mixed_tokens = jnp.einsum(
-            "pl,lmd->pmd", w_tok, t_flat_all
-        ).reshape(P, teacher_tokens.batch, teacher_tokens.num_tokens, -1)
+        # path reshapes + strips). mix_stack is the relayout-free fused
+        # kernel: the plain einsum made XLA transpose the whole ~930 MB
+        # stack to an (M, L, D) operand first (traced 3.4 ms copy +
+        # 2.2 ms dot at bench shapes; the kernel is one ~1.6 ms
+        # bandwidth pass).
+        from basd_tpu.ops.pallas.mix_stack import mix_stack
+
+        mixed_tokens = mix_stack(w_tok, t_flat_all).reshape(
+            P, teacher_tokens.batch, teacher_tokens.num_tokens, -1
+        )
     else:
         mixed_tokens = jnp.einsum("pl,lbnd->pbnd", w_tok, t_tokens)
     mixed_importance = jnp.einsum(
