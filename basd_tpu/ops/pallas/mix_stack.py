@@ -15,9 +15,14 @@ the (L, TM, D) slab of every layer in VMEM and accumulating the P
 weighted sums as VPU FMAs (the MXU has nothing to chew on at K=12).
 
 Gradients: ``t`` is the stop-gradient teacher stack; only ``w`` needs a
-VJP, and dL/dw[p,l] = <dmixed[p], t[l]> is the einsum ``pmd,lmd->pl`` —
-both operands contract over their CONTIGUOUS (m, d) axes, so XLA lowers
-it relayout-free (verified in HLO).
+VJP, and dL/dw[p,l] = <dmixed[p], t[l]> is the einsum ``pmd,lmd->pl``.
+XLA's lowering of that einsum is a trap at stack scale (r5 trace): a
+(P, L) output with a 38.7M-element contraction makes it relayout BOTH
+operands to M-minor tilings — a 3.4 ms copy of the full stack plus a
+1.0 ms copy of the cotangent feeding a 2.0 ms multiply-reduce fusion.
+``_dw_pallas`` replaces it: one native-layout bandwidth pass over both
+operands, accumulating the (P, L) scalars in SMEM across the M-tile
+grid (~1.1 GB of reads, no copies).
 
 Reference semantics: ``src/losses/layer_selector.py:110-118`` (weights
 cast to token dtype, then weighted layer sum).
@@ -108,14 +113,70 @@ def _mix_vjp_fwd(w, t):
     return _mix_impl(w, t), (w, t)
 
 
+def _dw_kernel(g_ref, t_ref, o_ref, *, num_p: int, num_l: int, grid_m: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for p in range(num_p):
+            for l in range(num_l):
+                o_ref[p, l] = jnp.float32(0.0)
+
+    # one f32 upcast of the cotangent tile, layers upcast one at a time
+    gs = [g_ref[p].astype(jnp.float32) for p in range(num_p)]
+    for l in range(num_l):
+        tl = t_ref[l].astype(jnp.float32)
+        for p in range(num_p):
+            o_ref[p, l] = o_ref[p, l] + jnp.sum(gs[p] * tl)
+
+
+def _dw_pallas(g: jnp.ndarray, t: jnp.ndarray, *, interpret: bool = False):
+    num_l, m, d = t.shape
+    num_p = g.shape[0]
+    tm = 512
+    while tm > 8 and m % tm:
+        tm //= 2
+    kernel = functools.partial(
+        _dw_kernel, num_p=num_p, num_l=num_l, grid_m=m // tm
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m // tm,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        in_specs=[
+            pl.BlockSpec((num_p, tm, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_l, tm, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # (P, L) scalar accumulators live in SMEM and revisit every grid
+        # step (constant index map -> resident across the sequential
+        # TPU grid); initialized at i == 0, final value after last tile
+        out_specs=pl.BlockSpec((num_p, num_l), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((num_p, num_l), jnp.float32),
+        interpret=interpret,
+    )(g, t)
+
+
 def _mix_vjp_bwd(res, g):
     w, t = res
-    # contraction over the contiguous (m, d) axes of both operands —
-    # no relayout; f32 accumulation, cast back to the weights' dtype
-    # (matching the einsum VJP it replaces)
-    dw = jnp.einsum(
-        "pmd,lmd->pl", g, t, preferred_element_type=jnp.float32
-    ).astype(w.dtype)
+    if (
+        jax.default_backend() == "tpu"
+        and t.ndim == 3
+        and t.shape[1] % 8 == 0
+        and t.shape[0] * t.shape[2] <= 32768
+        and g.shape == (w.shape[0],) + t.shape[1:]
+    ):
+        dw = _dw_pallas(g, t).astype(w.dtype)
+    else:
+        # f32 accumulation, cast back to the weights' dtype (matching
+        # the einsum VJP it replaces)
+        dw = jnp.einsum(
+            "pmd,lmd->pl", g, t, preferred_element_type=jnp.float32
+        ).astype(w.dtype)
     # t rides under stop_gradient at every call site; its cotangent is
     # dead there, and XLA DCEs the broadcast-zero
     return dw, jnp.zeros_like(t)

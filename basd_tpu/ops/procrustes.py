@@ -142,6 +142,15 @@ def geometric_relational_loss_ident(
         w = linear_interp1d(w, s.shape[-2], axis=-1)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
 
+    if nuclear_backend not in ("svd", "eigh"):
+        # NS-polar fast path: hand-written VJP (see _ident_core) — same
+        # math, but the backward is expressed as a handful of fused
+        # einsums instead of autodiff's materialized (.., N, D) broadcast
+        # chains, and the residual set shrinks to {inputs, polar factor,
+        # first moments} (autodiff saves the centered/weighted f32 panels
+        # — ~1.2 GB at bench shapes).
+        return _ident_core(student_tokens, teacher_tokens, w)
+
     prec = jax.lax.Precision.HIGH
     mu_s = jnp.einsum("...n,...nd->...d", w, s, precision=prec)
     s_c = s - mu_s[..., None, :]
@@ -158,13 +167,7 @@ def geometric_relational_loss_ident(
     # at the centered scale. The (t - c) subtract has no materialized
     # consumer of its own — XLA fuses it into the rowsq reduce and the
     # cross dot's operand read.
-    b_slice = min(teacher_tokens.shape[-3], 64)
-    c = jax.lax.stop_gradient(
-        jnp.mean(
-            teacher_tokens[..., :b_slice, :, :].astype(jnp.float32),
-            axis=(-3, -2), keepdims=True,
-        )
-    )
+    c = _slice_mean_shift(teacher_tokens)
     t_c = teacher_tokens.astype(jnp.float32) - c
     rowsq = jnp.einsum(
         "...nd,...nd->...n", t_c, t_c, precision=prec,
@@ -177,8 +180,101 @@ def geometric_relational_loss_ident(
     cross = jnp.einsum("...ns,...nt->...st", sw2, t_c, precision=prec)
     if nuclear_backend == "svd":
         nuclear = linalg.nuclear_norm_ref(cross)
-    elif nuclear_backend == "eigh":
-        nuclear = linalg.nuclear_norm(cross)
     else:
-        nuclear = linalg.nuclear_norm_ns(cross)
+        nuclear = linalg.nuclear_norm(cross)
     return tr_s + tr_t - 2.0 * nuclear
+
+
+def _slice_mean_shift(teacher_tokens: jnp.ndarray) -> jnp.ndarray:
+    """Stop-grad constant channel shift (batch-slice + token mean)."""
+    b_slice = min(teacher_tokens.shape[-3], 64)
+    return jax.lax.stop_gradient(
+        jnp.mean(
+            teacher_tokens[..., :b_slice, :, :].astype(jnp.float32),
+            axis=(-3, -2), keepdims=True,
+        )
+    )
+
+
+@jax.custom_vjp
+def _ident_core(s_in: jnp.ndarray, t_in: jnp.ndarray, w: jnp.ndarray):
+    """Identity-form Procrustes loss core with a hand-written VJP.
+
+    Inputs: ``s_in (..., N, D_s)`` / ``t_in (..., N, D_t)`` (any float
+    dtype), ``w (..., N)`` NORMALIZED f32 weights. Value matches the
+    inline 'gram' path of ``geometric_relational_loss_ident`` bit-for-bit
+    (same ops, same order). The backward uses the closed forms (all
+    exploiting ``sum_n w_n s_c,n = 0`` and treating the polar factor P as
+    the constant nuclear-norm subgradient, exactly like
+    ``linalg.nuclear_norm_ns``):
+
+        ds_pre = 2 w (s_c - t_c P^T);  ds_n = ds_pre_n - w_n sum_m ds_pre_m
+        dt     = 2 w (t_c - mu_tc - s_c P)
+        dw_n   = ||s_c,n||^2 + ||t_c,n||^2 - 2 t_c,n . mu_tc
+                 - 2 s_c,n . (t_c P^T)_n + 2 s_n . (P mu_tc)
+
+    — three batched (N, D) x (D, D') contractions and row reductions; no
+    materialized outer-product broadcasts (XLA's transpose-jvp of the
+    moment einsums builds several (..., N, D) f32 temporaries and
+    add_any's them — traced ~4 ms/step at bench shapes).
+    """
+    val, _ = _ident_core_fwd(s_in, t_in, w)
+    return val
+
+
+def _ident_core_fwd(s_in, t_in, w):
+    prec = jax.lax.Precision.HIGH
+    s = s_in.astype(jnp.float32)
+    mu_s = jnp.einsum("...n,...nd->...d", w, s, precision=prec)
+    s_c = s - mu_s[..., None, :]
+    sw2 = w[..., None] * s_c
+    tr_s = jnp.sum(sw2 * s_c, axis=(-1, -2))
+
+    c = _slice_mean_shift(t_in)
+    t_c = t_in.astype(jnp.float32) - c
+    rowsq = jnp.einsum("...nd,...nd->...n", t_c, t_c, precision=prec)
+    mu_tc = jnp.einsum("...n,...nd->...d", w, t_c, precision=prec)
+    tr_t = jnp.einsum("...n,...n->...", w, rowsq) - jnp.sum(
+        jnp.square(mu_tc), axis=-1
+    )
+
+    cross = jnp.einsum("...ns,...nt->...st", sw2, t_c, precision=prec)
+    p = linalg.newton_schulz_polar(cross, schedule="hybrid")
+    nuclear = jnp.einsum(
+        "...ij,...ij->...", p.astype(jnp.float32), cross.astype(jnp.float32),
+        precision=linalg.HI,
+    )
+    val = tr_s + tr_t - 2.0 * nuclear
+    return val, (s_in, t_in, w, c, mu_s, mu_tc, rowsq, p)
+
+
+def _ident_core_bwd(res, g):
+    s_in, t_in, w, c, mu_s, mu_tc, rowsq, p = res
+    prec = jax.lax.Precision.HIGH
+    s = s_in.astype(jnp.float32)
+    s_c = s - mu_s[..., None, :]
+    t_c = t_in.astype(jnp.float32) - c
+    p = p.astype(jnp.float32)
+
+    # t_c @ P^T (N, D_s) and s_c @ P (N, D_t) — the only heavy work
+    tp = jnp.einsum("...nt,...st->...ns", t_c, p, precision=prec)
+    sp = jnp.einsum("...ns,...st->...nt", s_c, p, precision=prec)
+
+    g2w = (2.0 * g[..., None]) * w  # (..., N)
+    ds_pre = g2w[..., None] * (s_c - tp)
+    colsum = jnp.sum(ds_pre, axis=-2)  # (..., D_s)
+    ds = ds_pre - w[..., None] * colsum[..., None, :]
+    dt = g2w[..., None] * (t_c - mu_tc[..., None, :] - sp)
+
+    pmu = jnp.einsum("...st,...t->...s", p, mu_tc, precision=prec)
+    dw = g[..., None] * (
+        jnp.sum(jnp.square(s_c), axis=-1)
+        + rowsq
+        - 2.0 * jnp.einsum("...nt,...t->...n", t_c, mu_tc, precision=prec)
+        - 2.0 * jnp.sum(s_c * tp, axis=-1)
+        + 2.0 * jnp.einsum("...ns,...s->...n", s, pmu, precision=prec)
+    )
+    return ds.astype(s_in.dtype), dt.astype(t_in.dtype), dw.astype(w.dtype)
+
+
+_ident_core.defvjp(_ident_core_fwd, _ident_core_bwd)

@@ -57,6 +57,27 @@ def test_non_divisible_m_uses_smaller_tile():
     )
 
 
+def test_dw_kernel_matches_einsum():
+    """The r5 dL/dw Pallas reduction (native-layout bandwidth pass with
+    SMEM scalar accumulators, replacing XLA's double-relayout lowering
+    of ``pmd,lmd->pl``) matches the einsum, f32 and bf16 operands."""
+    from basd_tpu.ops.pallas.mix_stack import _dw_pallas
+
+    for dtype, tol in ((jnp.float32, 1e-4), (jnp.bfloat16, 5e-3)):
+        _, t = _inputs(dtype)
+        g = jnp.asarray(
+            RNG.standard_normal((P, M, D)).astype(np.float32), dtype
+        )
+        dw = _dw_pallas(g, t, interpret=True)
+        ref = jnp.einsum("pmd,lmd->pl", g, t,
+                         preferred_element_type=jnp.float32)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(dw), np.asarray(ref, dtype=np.float32),
+            rtol=tol, atol=tol * scale
+        )
+
+
 def test_custom_vjp_matches_einsum_grad():
     """dL/dw of mix_stack == dL/dw of the einsum; the stack cotangent is
     dead (stop-gradient call sites) but must still be zeros of the right

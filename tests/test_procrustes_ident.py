@@ -74,6 +74,66 @@ def test_gradients_match_composition(outliers):
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
 
 
+@pytest.mark.parametrize("outliers", [False, True])
+def test_custom_vjp_gradients_match_composed_gram(outliers):
+    """The hand-written VJP of the 'gram' ident path (_ident_core,
+    r5: closed-form ds/dt/dw einsums replacing autodiff's materialized
+    broadcast chains) matches autodiff of the composed 'gram' form —
+    including the teacher-side gradient, which flows back into the
+    selector mixing weights in production."""
+    s, t, w = _data(outliers)
+    gi = jax.grad(_ident, argnums=(0, 1, 2))(s, t, w, "gram")
+    gc = jax.grad(_composed, argnums=(0, 1, 2))(s, t, w, "gram")
+    for a, b in zip(gi, gc):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
+
+
+def test_custom_vjp_matches_autodiff_of_same_forward():
+    """Lock the closed-form VJP algebra against autodiff of the
+    IDENTICAL forward with the polar factor held constant (the
+    subgradient semantic both nuclear_norm_ns and the custom VJP use —
+    Danskin: d||M||_*/dM = P with dP terms vanishing at the maximizer).
+    Same ops, same polar factor, so the tolerance is tight."""
+    from basd_tpu.ops import linalg as lin
+    from basd_tpu.ops import procrustes as pr
+
+    s, t, w = _data(True)
+    wn = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    def via_custom(s, t, wn):
+        return jnp.mean(pr._ident_core(s, t, wn))
+
+    def via_autodiff(s, t, wn):
+        # inline mirror of _ident_core_fwd with stop_gradient(p)
+        prec = jax.lax.Precision.HIGH
+        s32 = s.astype(jnp.float32)
+        mu_s = jnp.einsum("...n,...nd->...d", wn, s32, precision=prec)
+        s_c = s32 - mu_s[..., None, :]
+        sw2 = wn[..., None] * s_c
+        tr_s = jnp.sum(sw2 * s_c, axis=(-1, -2))
+        c = pr._slice_mean_shift(t)
+        t_c = t.astype(jnp.float32) - c
+        rowsq = jnp.einsum("...nd,...nd->...n", t_c, t_c, precision=prec)
+        mu_tc = jnp.einsum("...n,...nd->...d", wn, t_c, precision=prec)
+        tr_t = jnp.einsum("...n,...n->...", wn, rowsq) - jnp.sum(
+            jnp.square(mu_tc), axis=-1
+        )
+        cross = jnp.einsum("...ns,...nt->...st", sw2, t_c, precision=prec)
+        p = jax.lax.stop_gradient(
+            lin.newton_schulz_polar(cross, schedule="hybrid")
+        )
+        nuc = jnp.einsum("...ij,...ij->...", p.astype(jnp.float32),
+                         cross.astype(jnp.float32), precision=lin.HI)
+        return jnp.mean(tr_s + tr_t - 2.0 * nuc)
+
+    gi = jax.grad(via_custom, argnums=(0, 1, 2))(s, t, wn)
+    ga = jax.grad(via_autodiff, argnums=(0, 1, 2))(s, t, wn)
+    for a, b in zip(gi, ga):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-5
+
+
 def test_bf16_inputs_and_batch_shapes():
     s, t, w = _data(True)
     out = geometric_relational_loss_ident(
