@@ -37,7 +37,14 @@ A100_REF_IMG_PER_SEC = 1200.0
 # experiment knobs (defaults = the recorded configuration)
 import os
 
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 512))
+# B=1024 became the fastest configuration in round 5: the ident-loss
+# custom VJP freed ~1.2 GB of residuals, flipping 1024 from spill-bound
+# (2,187 img/s r3) to +7% over B=512 (3,011 vs 2,806; the per-step
+# fixed costs — stacked eigh ~17 ms, principal angles ~8 ms — amortize
+# over 2x the images). remat=none at 1024 adds +0.7% (3,034) but its
+# compile took 25 min through the remote-compile service once — too
+# flaky for the recorded config; remat=full compiles in ~3.5 min.
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 1024))
 WARMUP_STEPS = 5
 TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 12))
 # median-of-N timed windows: single-window numbers drifted ~3% between
