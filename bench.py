@@ -44,6 +44,8 @@ import os
 # over 2x the images). remat=none at 1024 adds +0.7% (3,034) but its
 # compile took 25 min through the remote-compile service once — too
 # flaky for the recorded config; remat=full compiles in ~3.5 min.
+# B=2048 does not compile here (remote-compile helper exits 1 on 3
+# retries — program too large for the compile service).
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 1024))
 WARMUP_STEPS = 5
 TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 12))
