@@ -245,11 +245,11 @@ def _ident_core_fwd(s_in, t_in, w):
         precision=linalg.HI,
     )
     val = tr_s + tr_t - 2.0 * nuclear
-    return val, (s_in, t_in, w, c, mu_s, mu_tc, rowsq, p)
+    return val, (s_in, t_in, w, c, mu_s, mu_tc, p)
 
 
 def _ident_core_bwd(res, g):
-    s_in, t_in, w, c, mu_s, mu_tc, rowsq, p = res
+    s_in, t_in, w, c, mu_s, mu_tc, p = res
     prec = jax.lax.Precision.HIGH
     s = s_in.astype(jnp.float32)
     s_c = s - mu_s[..., None, :]
@@ -266,13 +266,27 @@ def _ident_core_bwd(res, g):
     ds = ds_pre - w[..., None] * colsum[..., None, :]
     dt = g2w[..., None] * (t_c - mu_tc[..., None, :] - sp)
 
+    # dw = ||s_c||^2 + ||t_c||^2 - 2 t_c.mu_tc - 2 s_c.tp + 2 s.pmu,
+    # regrouped (s = s_c + mu_s) into two row-dots whose second operands
+    # are elementwise expressions — XLA fuses the broadcasts into the
+    # multiply-reduce instead of materializing (.., N, D) broadcast
+    # panels (the naive grouping traced ~3 ms of broadcast+reduce at
+    # B=1024), plus one per-batch scalar term.
     pmu = jnp.einsum("...st,...t->...s", p, mu_tc, precision=prec)
     dw = g[..., None] * (
-        jnp.sum(jnp.square(s_c), axis=-1)
-        + rowsq
-        - 2.0 * jnp.einsum("...nt,...t->...n", t_c, mu_tc, precision=prec)
-        - 2.0 * jnp.sum(s_c * tp, axis=-1)
-        + 2.0 * jnp.einsum("...ns,...s->...n", s, pmu, precision=prec)
+        jnp.einsum(
+            "...ns,...ns->...n",
+            s_c, s_c - 2.0 * tp + 2.0 * pmu[..., None, :],
+            precision=prec,
+        )
+        + jnp.einsum(
+            "...nt,...nt->...n",
+            t_c, t_c - 2.0 * mu_tc[..., None, :],
+            precision=prec,
+        )
+        + 2.0 * jnp.einsum("...s,...s->...", mu_s, pmu, precision=prec)[
+            ..., None
+        ]
     )
     return ds.astype(s_in.dtype), dt.astype(t_in.dtype), dw.astype(w.dtype)
 

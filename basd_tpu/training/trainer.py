@@ -161,6 +161,12 @@ class Trainer:
         # (L, B, N, D) stack — traced ~3 ms/step)
         extraction_layers = tuple(self.token_layers)
 
+        # (A 0/1-matrix custom-VJP routing of the extraction backward —
+        # one dot_general instead of the slice-transpose select/pad/add
+        # chain — was measured r5 and LOST on hardware: 3054 -> 2945
+        # img/s at B=1024. The materialized einsum breaks the fusion of
+        # the cotangent routing into the scan backward; the chain stays.)
+
         def step(opt_state, teacher_vars, sel_buffers, images_u8, labels, rng):
             k_view, k_mix, k_drop = jax.random.split(rng, 3)
             clean, augmented = aug.make_train_views(
