@@ -375,7 +375,8 @@ def load_teacher(
     return bundle, variables
 
 
-def teacher_extract(bundle: ModelBundle, variables: dict, x: jnp.ndarray):
+def teacher_extract(bundle: ModelBundle, variables: dict, x: jnp.ndarray,
+                    collection_init=None):
     """Per-layer tokens + reduced attention importance for the teacher —
     the reference's ``extract_intermediates`` (``teacher.py:180-216``).
 
@@ -385,8 +386,18 @@ def teacher_extract(bundle: ModelBundle, variables: dict, x: jnp.ndarray):
     ``to_dense()`` recovers the reference-shaped (L, B, N, D) strip);
     otherwise a dense (L, B, N, D) array. CNN teachers yield L=1 with
     uniform importance (``teacher.py:184-191``).
+
+    ``collection_init``: optional (L*B*N, D) buffer seeding the aliased
+    collection stack (fully overwritten; pass the previous step's
+    ``tokens.flat`` donated to skip the zeros init — see Trainer).
     """
-    out = bundle.module.apply(variables, x, deterministic=True)
+    if collection_init is not None:
+        out = bundle.module.apply(
+            variables, x, deterministic=True,
+            collection_init=collection_init,
+        )
+    else:
+        out = bundle.module.apply(variables, x, deterministic=True)
     if bundle.info["feature_format"] == "token":
         return out["tokens"], out["importance"]
     feats = out["features"]

@@ -95,7 +95,8 @@ class VisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 collection_init=None):
         cfg = self.cfg
         b = x.shape[0]
         x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=self.dtype,
@@ -165,7 +166,24 @@ class VisionTransformer(nn.Module):
             # be another — consumers read the packed form instead (see
             # models.tokens.PackedTokens).
             b_, n_, d_ = x.shape
-            stack = jnp.zeros((cfg.depth * b_ * n_, d_), self.dtype)
+            if collection_init is not None:
+                # donated carry buffer from the caller (see
+                # training.trainer): every (b*n)-row slab is fully
+                # overwritten by its layer's aliased kernel write before
+                # any read, so arbitrary prior contents are fine — this
+                # skips the dead ~1 ms/GB zeros broadcast per step.
+                if (
+                    collection_init.shape != (cfg.depth * b_ * n_, d_)
+                    or collection_init.dtype != self.dtype
+                ):
+                    raise ValueError(
+                        f"collection_init {collection_init.shape}/"
+                        f"{collection_init.dtype} != "
+                        f"({cfg.depth * b_ * n_}, {d_})/{self.dtype}"
+                    )
+                stack = collection_init
+            else:
+                stack = jnp.zeros((cfg.depth * b_ * n_, d_), self.dtype)
             (x, stack, _), (importance, cls_slab) = blocks(
                 (x, stack, jnp.int32(0)), rates
             )

@@ -167,7 +167,18 @@ class Trainer:
         # img/s at B=1024. The materialized einsum breaks the fusion of
         # the cotangent routing into the scan backward; the chain stays.)
 
-        def step(opt_state, teacher_vars, sel_buffers, images_u8, labels, rng):
+        # collect-buffer state (set by the wrapper's lazy init below,
+        # BEFORE the first jit trace): when the teacher emits a packed
+        # collection, its (L*B*N, D) stack buffer is threaded through the
+        # step as a DONATED argument and returned, so step k+1's aliased
+        # kernel writes reuse step k's buffer in place — skipping the
+        # dead zeros broadcast that otherwise initializes the carried
+        # stack (~2.8 ms at B=1024; every slab is fully overwritten
+        # before any read, so prior contents are irrelevant).
+        state = {"buf": None, "packed": False, "batch": None}
+
+        def step(opt_state, teacher_vars, sel_buffers, collect_buf,
+                 images_u8, labels, rng):
             k_view, k_mix, k_drop = jax.random.split(rng, 3)
             clean, augmented = aug.make_train_views(
                 k_view, images_u8, img_size, d_stats, t_stats,
@@ -177,9 +188,18 @@ class Trainer:
                 k_mix, augmented, labels, num_classes, num_shards=num_shards
             )
 
-            t_tokens, t_imp = teacher_extract(
-                teacher_bundle, teacher_vars, clean.astype(jnp.bfloat16)
-            )
+            if state["packed"]:
+                t_tokens, t_imp = teacher_extract(
+                    teacher_bundle, teacher_vars, clean.astype(jnp.bfloat16),
+                    collection_init=collect_buf,
+                )
+                d_t = t_tokens.flat.shape[-1]
+                buf_out = t_tokens.flat.reshape(-1, d_t)
+            else:
+                t_tokens, t_imp = teacher_extract(
+                    teacher_bundle, teacher_vars, clean.astype(jnp.bfloat16)
+                )
+                buf_out = collect_buf
 
             y = sf.train_params(opt_state, sf_cfg)
 
@@ -225,9 +245,49 @@ class Trainer:
                 "rank_cap_hits": aux["rank_cap_hits"],
                 "mix_weights": aux["mix_weights"],
             }
+            return opt_state, metrics, buf_out
+
+        step_jit = jax.jit(step, donate_argnums=(0, 3))
+
+        def _prepare(images_u8):
+            """Lazy collect-buffer init (idempotent; runs pre-trace)."""
+            if state["buf"] is not None and state["batch"] == images_u8.shape[0]:
+                return state["buf"]
+            state["batch"] = images_u8.shape[0]
+            from basd_tpu.models.tokens import PackedTokens
+
+            dummy = jax.ShapeDtypeStruct(
+                (images_u8.shape[0], img_size, img_size, 3), jnp.bfloat16
+            )
+            tok_shape, _ = jax.eval_shape(
+                lambda v, x: teacher_extract(teacher_bundle, v, x),
+                self.teacher_vars, dummy,
+            )
+            if isinstance(tok_shape, PackedTokens):
+                state["packed"] = True
+                l, m, d = tok_shape.flat.shape
+                # host zeros: uncommitted, so jit places it with its
+                # preferred (donation-compatible) sharding on first call
+                state["buf"] = np.zeros((l * m, d), tok_shape.flat.dtype)
+            else:
+                state["packed"] = False
+                state["buf"] = np.zeros((1, 1), np.float32)
+            return state["buf"]
+
+        def run(opt_state, teacher_vars, sel_buffers, images_u8, labels,
+                rng):
+            _prepare(images_u8)
+            opt_state, metrics, state["buf"] = step_jit(
+                opt_state, teacher_vars, sel_buffers, state["buf"],
+                images_u8, labels, rng,
+            )
             return opt_state, metrics
 
-        return jax.jit(step, donate_argnums=(0,))
+        # introspection hooks for profiling/HLO-dump scripts
+        run.jitted = step_jit
+        run.prepare = _prepare
+        run.state = state
+        return run
 
     def _eval_step(self, valid_indices: tuple | None, label_smoothing: float):
         # delegates to evaluation.metrics.make_eval_step — ONE eval-step

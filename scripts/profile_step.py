@@ -130,8 +130,9 @@ def _hlo_metadata(trainer, sharded) -> dict:
     import jax
 
     key = jax.random.PRNGKey(0)
-    compiled = trainer._train_step.lower(
+    compiled = trainer._train_step.jitted.lower(
         trainer.opt_state, trainer.teacher_vars, trainer.sel_buffers,
+        trainer._train_step.prepare(sharded["image"]),
         sharded["image"], sharded["label"], key,
     ).compile()
     txt = compiled.as_text()

@@ -142,6 +142,66 @@ def test_checkpoint_save_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_collect_buffer_content_is_irrelevant(tmp_path):
+    """The donated teacher collection buffer (r5) must not influence the
+    math: every (B*N)-row slab is fully overwritten by its layer's
+    aliased write before any read, so seeding the buffer with garbage
+    must give bitwise-identical step metrics to the zeros init."""
+    mesh = make_mesh(data=1)
+
+    def build():
+        cfg = tiny_config(tmp_path)
+        teacher = create_model(
+            "deit_small_patch16_224", img_size=32, num_classes=0,
+            arch_overrides=dict(embed_dim=64, depth=3, num_heads=2,
+                                mlp_ratio=2.0),
+            importance_mode="cls", collect_alias=True, dtype=jnp.bfloat16,
+        )
+        t_vars = init_model(teacher, jax.random.PRNGKey(1), 32)
+        student = create_model(
+            "deit_tiny_patch16_224", img_size=32, num_classes=10,
+            drop_path_rate=0.1,
+            arch_overrides=dict(embed_dim=48, depth=3, num_heads=2,
+                                mlp_ratio=2.0),
+            dtype=jnp.bfloat16,
+        )
+        s_vars = init_model(student, jax.random.PRNGKey(2), 32,
+                            fan_in_init=True)
+        stats = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+        return Trainer(
+            cfg, student_bundle=student, student_params=s_vars["params"],
+            teacher_bundle=teacher, teacher_vars=t_vars, mesh=mesh,
+            dataset_stats=stats, teacher_stats=stats,
+        )
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": rng.integers(0, 256, (8, 40, 40, 3)).astype(np.uint8),
+        "label": rng.integers(0, 10, (8,)).astype(np.int32),
+    }
+    from basd_tpu.parallel.mesh import shard_batch
+
+    def one_step(trainer, poison):
+        sharded = shard_batch(mesh, batch)
+        step = trainer._train_step
+        buf = step.prepare(sharded["image"])
+        assert step.state["packed"], "teacher must take the packed path"
+        if poison:
+            step.state["buf"] = np.full(
+                buf.shape, 3.0e2, np.asarray(buf).dtype
+            )
+        _, metrics = step(
+            trainer.opt_state, trainer.teacher_vars, trainer.sel_buffers,
+            sharded["image"], sharded["label"], jax.random.PRNGKey(5),
+        )
+        return {k: np.asarray(metrics[k]) for k in ("loss_sum", "geo", "ce")}
+
+    m_zero = one_step(build(), poison=False)
+    m_junk = one_step(build(), poison=True)
+    for k in m_zero:
+        np.testing.assert_array_equal(m_zero[k], m_junk[k], err_msg=k)
+
+
 def test_sharded_train_step_runs(tmp_path, devices8):
     mesh = make_mesh(data=2, model=1)
     trainer, _ = build_tiny_trainer(tmp_path, mesh, **{"tpu.mesh.data": 2})
