@@ -174,6 +174,13 @@ def _centered_gram_flat(
     from basd_tpu.ops.linalg import HI
 
     mu_dt = jnp.float32 if flat.dtype == jnp.bfloat16 else flat.dtype
+    # Known headroom (r5 trace): this sum re-reads the whole packed
+    # stack (~2.5 ms at B=1024, HLO convert_reduce_fusion) just to get
+    # per-layer channel means. The collect kernel
+    # (fused_block_mlp.fused_ln_mlp_collect) could emit each slab's
+    # (1, D) column sum as a third accumulated output (same revisited-
+    # block pattern as its bwd weight grads) and pass it down, making
+    # this free — not landed in r5 (out of validated-hardware time).
     s_all = jnp.sum(flat, axis=1, dtype=mu_dt)  # (K, D)
     if cls is not None:
         s_all = s_all - jnp.sum(cls, axis=1, dtype=mu_dt)
